@@ -1,0 +1,149 @@
+"""Host-side batch loaders feeding device-resident training.
+
+Replaces torch DataLoader. Two flavors:
+
+* :class:`ArrayLoader` — whole-dataset-in-memory arrays (FashionMNIST,
+  precomputed embeddings); pure numpy slicing, zero per-item Python cost.
+* :class:`MapLoader` — map-style datasets with a collate function and an
+  optional thread pool + background prefetch (jsonl/image pipelines).
+
+Both reshuffle per epoch from a seeded RNG and expose ``len()`` = number of
+batches (ceil), matching torch DataLoader(drop_last=False) semantics used
+throughout the reference.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+
+class ArrayLoader:
+    def __init__(
+        self,
+        arrays: Sequence[np.ndarray],
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        sample_size: Optional[int] = None,
+    ):
+        n = len(arrays[0])
+        for a in arrays[1:]:
+            assert len(a) == n
+        if sample_size is not None:
+            arrays = [a[:sample_size] for a in arrays]
+            n = len(arrays[0])
+        self.arrays = [np.asarray(a) for a in arrays]
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for start in range(0, self.n, self.batch_size):
+            sel = idx[start : start + self.batch_size]
+            batch = tuple(a[sel] for a in self.arrays)
+            yield batch if len(batch) > 2 else (batch[0], batch[1])
+
+
+class MapLoader:
+    """Map-style dataset -> collated numpy batches, with threaded fetch and a
+    one-batch-deep background prefetch pipeline."""
+
+    def __init__(
+        self,
+        dataset: Any,  # supports __len__/__getitem__
+        batch_size: int,
+        collate_fn: Callable,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 0,
+        sample_size: Optional[int] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.n = len(dataset) if sample_size is None else min(sample_size, len(dataset))
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        )
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, sel):
+        if self._pool is not None:
+            items = list(self._pool.map(self.dataset.__getitem__, sel))
+        else:
+            items = [self.dataset[i] for i in sel]
+        return self.collate_fn(items)
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        batches = [
+            idx[s : s + self.batch_size] for s in range(0, self.n, self.batch_size)
+        ]
+        if self.prefetch <= 0:
+            for sel in batches:
+                yield self._make_batch(sel)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for sel in batches:
+                    q.put(self._make_batch(sel))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+def subset_then_loaders(
+    training, dev, testing, collate_fn, args
+) -> tuple:
+    """Reference ``get_dataset`` (``src/dataset.py:287-321``): truncate the
+    train set to sample_size, build train(shuffle)/dev/test loaders."""
+    train_loader = MapLoader(
+        training,
+        args.batch_size,
+        collate_fn,
+        shuffle=True,
+        seed=args.seed,
+        num_workers=getattr(args, "n_workers", 0),
+        sample_size=args.sample_size,
+    )
+    dev_loader = MapLoader(
+        dev, args.batch_size, collate_fn, num_workers=getattr(args, "n_workers", 0)
+    )
+    test_loader = MapLoader(
+        testing, args.batch_size, collate_fn, num_workers=getattr(args, "n_workers", 0)
+    )
+    return train_loader, dev_loader, test_loader

@@ -1,0 +1,86 @@
+"""CLIP-style pre-LN transformer encoder (flax.linen).
+
+Re-design of the reference stack at ``src/model.py:174-223``
+(fp16-safe LayerNorm, QuickGELU, pre-LN residual attention blocks). The
+attention core dispatches to the Pallas fused kernel on TPU
+(:mod:`multimodal_uncertainty_tpu.ops.attention`).
+
+Quirk preserved: the reference builds the MLP as an OrderedDict with a
+duplicate "dropout" key (``src/model.py:195-201``), so only ONE dropout
+survives, positioned between c_fc and the activation. We replicate
+c_fc -> dropout -> QuickGELU -> c_proj.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_uncertainty_tpu.models.layers import LayerNormFP32, Linear, quick_gelu
+from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with packed QKV projection (torch MultiheadAttention
+    layout: in_proj 3D x D, out_proj D x D)."""
+
+    n_head: int
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_mask: Optional[jax.Array] = None):
+        b, s, d = x.shape
+        assert d % self.n_head == 0, (d, self.n_head)
+        dh = d // self.n_head
+        qkv = Linear(3 * d, name="in_proj")(x)  # (B, S, 3D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, self.n_head, dh).transpose(0, 2, 1, 3)
+
+        out = scaled_dot_product_attention(
+            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return Linear(d, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN residual block (reference ``src/model.py:188-212``)."""
+
+    n_head: int
+    drop: float = 0.0
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, key_mask: Optional[jax.Array] = None):
+        d = x.shape[-1]
+        h = LayerNormFP32(name="ln_1")(x)
+        x = x + MultiHeadAttention(self.n_head, self.attn_impl, name="attn")(
+            h, key_mask
+        )
+        h = LayerNormFP32(name="ln_2")(x)
+        h = Linear(d * 4, name="c_fc")(h)
+        h = nn.Dropout(self.drop, deterministic=not train)(h)
+        h = quick_gelu(h)
+        h = Linear(d, name="c_proj")(h)
+        return x + h
+
+
+class Transformer(nn.Module):
+    """N-layer stack (reference ``src/model.py:215-223``)."""
+
+    layers: int
+    heads: int
+    drop: float = 0.0
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, key_mask: Optional[jax.Array] = None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.heads, self.drop, self.attn_impl, name=f"resblocks_{i}"
+            )(x, train=train, key_mask=key_mask)
+        return x

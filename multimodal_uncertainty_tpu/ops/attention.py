@@ -1,0 +1,170 @@
+"""Scaled-dot-product attention: XLA path + fused Pallas TPU kernel.
+
+The fusion-transformer attention is the hot op named in the project's north
+star. Sequences in this workload are short (<=512 tokens: ~197 FLAVA image
+patches + <=512 text tokens, reference ``train.py:87``), so rather than a
+streaming flash-attention we use a *whole-sequence* fused kernel: one grid
+step per (batch, head) keeps Q, K, V and the S x S score matrix in VMEM,
+computing QK^T -> mask -> softmax -> PV in a single pass with no HBM round
+trips for the intermediates. The backward pass recomputes probabilities in
+XLA (cheap at these sizes) via a custom VJP.
+
+All logits/softmax math runs in fp32 regardless of input dtype (parity with
+the reference's fp16-safe LayerNorm philosophy, ``src/model.py:174-180``).
+
+Masking contract: ``key_mask`` is boolean (B, S), True = token is attendable.
+Masked keys receive -1e30 before softmax — numerically identical to the
+reference *physically removing* the tokens (their post-softmax weight is
+exactly 0.0 in fp32), which is how the robustness sweeps implement
+modality-ablation without dynamic shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mask_bias(key_mask: jax.Array) -> jax.Array:
+    return jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def sdpa_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference XLA attention. q, k, v: (B, H, S, Dh); key_mask: (B, S)."""
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_mask is not None:
+        scores = scores + _mask_bias(key_mask)[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)  # (S, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (S, S)
+    mask = mask_ref[0]  # (1, S) int32 keep flags -> broadcast over queries
+    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _sdpa_pallas_fwd_impl(q, k, v, mask_i32, *, interpret: bool):
+    b, h, s, dh = q.shape
+    scale = 1.0 / (dh**0.5)
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    grid = (b, h)
+    blk = lambda bi, hi: (bi, hi, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 3,
+            transcendentals=b * h * s * s,
+        ),
+    )(q, k, v, mask_i32)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sdpa_pallas(q, k, v, mask_i32, interpret):
+    return _sdpa_pallas_fwd_impl(q, k, v, mask_i32, interpret=interpret)
+
+
+def _sdpa_pallas_fwd(q, k, v, mask_i32, interpret):
+    out = _sdpa_pallas_fwd_impl(q, k, v, mask_i32, interpret=interpret)
+    return out, (q, k, v, mask_i32)
+
+
+def _sdpa_pallas_bwd(interpret, res, g):
+    del interpret
+    q, k, v, mask_i32 = res
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    # mask_i32: (B, 1, S) -> broadcast to (B, 1, 1, S)
+    scores = scores + jnp.where(mask_i32 > 0, 0.0, NEG_INF)[:, :, None, :]
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_sdpa_pallas.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching entry point. q, k, v: (B, H, S, Dh); key_mask: (B, S) bool.
+
+    impl: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas',
+    'pallas_interpret' (for CPU tests of the kernel).
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "xla":
+        return sdpa_xla(q, k, v, key_mask)
+    interpret = impl == "pallas_interpret"
+    b, _, s, _ = q.shape
+    if key_mask is None:
+        mask_i32 = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    return _sdpa_pallas(q, k, v, mask_i32, interpret)

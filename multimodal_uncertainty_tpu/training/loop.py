@@ -1,0 +1,120 @@
+"""Default callback construction + history.csv persistence + resume helpers.
+
+Bit-compatible with the reference's experiment-record contract
+(``src/training_loop.py``): per-epoch history rows appended to an in-memory
+dict ``H`` and flushed to ``history.csv`` (pandas), best-val checkpoint
+``model_best_val.pt``, per-epoch ``model_epoch_{e}.pt`` + rolling
+``model_last_epoch.pt``. Notebooks consuming history.csv port unchanged.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+import numpy as np
+import pandas as pd
+
+from multimodal_uncertainty_tpu.training.callbacks import (
+    Callback,
+    LambdaCallback,
+    ModelCheckpoint,
+)
+from multimodal_uncertainty_tpu.training.checkpoint import (
+    load_weights,
+    restore_into,
+    save_weights,
+)
+
+logger = logging.getLogger(__name__)
+
+TYPES_TO_SAVE_IN_CSV = (int, float, complex, np.integer, np.floating, str)
+
+
+def _append_to_history_csv(epoch, logs, H):
+    for key, value in logs.items():
+        H.setdefault(key, []).append(value)
+
+
+def _save_history_csv(epoch, logs, save_path, H):
+    out = "".join(
+        f"{key}={value}\t"
+        for key, value in logs.items()
+        if isinstance(value, TYPES_TO_SAVE_IN_CSV)
+    )
+    logger.info(out)
+    logger.info("Saving history to %s", os.path.join(save_path, "history.csv"))
+    H_tosave = {
+        key: value
+        for key, value in H.items()
+        if value and isinstance(value[-1], TYPES_TO_SAVE_IN_CSV)
+    }
+    pd.DataFrame(H_tosave).to_csv(
+        os.path.join(save_path, "history.csv"), index=False
+    )
+
+
+def construct_default_callbacks(H, save_path, checkpoint_monitor="val_acc"):
+    """Standard callback set (reference ``src/training_loop.py:23-47``)."""
+    callbacks = [
+        LambdaCallback(on_epoch_end=partial(_append_to_history_csv, H=H)),
+        LambdaCallback(
+            on_epoch_end=partial(_save_history_csv, save_path=save_path, H=H)
+        ),
+        ModelCheckpoint(
+            monitor=checkpoint_monitor,
+            save_best_only=True,
+            mode="max",
+            filepath=os.path.join(save_path, "model_best_val.pt"),
+        ),
+    ]
+
+    class _SaveEveryEpoch(Callback):
+        def on_epoch_end(self, epoch, logs):
+            logger.info("Saving model from epoch %s", epoch)
+            variables, opt_state = self.trainer.checkpointable_state()
+            save_weights(
+                variables, opt_state, os.path.join(save_path, f"model_epoch_{epoch}.pt")
+            )
+            save_weights(
+                variables, opt_state, os.path.join(save_path, "model_last_epoch.pt")
+            )
+
+    callbacks.append(_SaveEveryEpoch())
+    return callbacks
+
+
+# keep the reference's name importable
+_construct_default_callbacks = construct_default_callbacks
+
+
+def load_history(save_path: str) -> dict:
+    """Replay history.csv into the H dict for --resume
+    (reference ``train.py:274-278``)."""
+    df = pd.read_csv(os.path.join(save_path, "history.csv"))
+    return {col: list(df[col].values) for col in df.columns if col != "Unnamed: 0"}
+
+
+def load_pretrained_model(state_template_variables, checkpoint_path: str):
+    """Strict restore of model variables from a checkpoint file
+    (reference ``src/training_loop.py:72-77``). Returns restored variables."""
+    model_sd, _ = load_weights(checkpoint_path)
+    restored = restore_into(state_template_variables, model_sd)
+    logger.info("Done reloading!")
+    return restored
+
+
+def resume_train_state(state, checkpoint_path: str):
+    """Full resume: restores params, batch_stats AND optimizer state
+    (fixes the reference's optimizer-not-restored gap, ``train.py:269-278``)."""
+    model_sd, opt_sd = load_weights(checkpoint_path)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    restored_vars = restore_into(variables, model_sd)
+    new = state.replace(params=restored_vars["params"])
+    if state.batch_stats is not None:
+        new = new.replace(batch_stats=restored_vars["batch_stats"])
+    if opt_sd:
+        new = new.replace(opt_state=restore_into(state.opt_state, opt_sd))
+    return new

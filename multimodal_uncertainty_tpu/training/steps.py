@@ -1,0 +1,143 @@
+"""Jitted train/eval step builders.
+
+Everything per-batch — MIMO data forming, forward, loss, backward, optimizer,
+metrics — compiles into ONE XLA program (the reference ran the data transforms
+on CPU and synced per batch, ``src/framework.py:262-319``). Steps are built
+against a :class:`ModelBundle` and an :class:`Optimizer` and jitted with
+donated state; when a mesh is provided the batch is sharded over the 'data'
+axis and XLA inserts the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_uncertainty_tpu.training.optim import Optimizer
+from multimodal_uncertainty_tpu.training.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    """Uniform adapter between a model family and the trainer.
+
+    apply_fn(variables, x, *, train, rngs, mutable) -> (logits, mutated_vars)
+    loss_fn(logits, y, eval) -> scalar
+    data_forming(key, x, y, phase) -> (x, y)  (None = identity)
+    metric_fns: list of (name, fn(logits, y, eval)) computed on-device.
+    grad_mask_fn(grads, flags) -> grads  (optional; e.g. MMBT freezing)
+    """
+
+    apply_fn: Callable
+    loss_fn: Callable
+    data_forming: Optional[Callable] = None
+    metric_fns: Sequence = ()
+    grad_mask_fn: Optional[Callable] = None
+    eval_pred_fn: Optional[Callable] = None  # logits -> per-sample eval preds
+
+
+def build_train_step(
+    bundle: ModelBundle,
+    optimizer: Optimizer,
+    *,
+    gradient_accumulation_steps: int = 1,
+    donate: bool = True,
+):
+    accum = gradient_accumulation_steps
+
+    def step(state: TrainState, x, y, key, flags=None):
+        k_form, k_drop = jax.random.split(key)
+        if bundle.data_forming is not None:
+            x, y = bundle.data_forming(k_form, x, y, "train")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            logits, mutated = bundle.apply_fn(
+                variables, x, train=True, rngs={"dropout": k_drop}
+            )
+            loss = bundle.loss_fn(logits, y, eval=False)
+            return loss, (logits, mutated)
+
+        (loss, (logits, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if bundle.grad_mask_fn is not None and flags is not None:
+            grads = bundle.grad_mask_fn(grads, flags)
+
+        new_batch_stats = (
+            mutated.get("batch_stats") if isinstance(mutated, dict) else None
+        )
+        if new_batch_stats is None:
+            new_batch_stats = state.batch_stats
+
+        if accum > 1:
+            # Reference divides the loss by the accum factor
+            # (src/framework.py:294-304); scale grads equivalently.
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            acc_grads = jax.tree_util.tree_map(
+                jnp.add, state.accum_grads, grads
+            )
+            micro = state.step + 1
+            do_apply = (micro % accum) == 0
+
+            def apply_branch(operand):
+                acc_grads, params, opt_state = operand
+                updates, new_opt = optimizer.update(acc_grads, opt_state, params)
+                new_params = jax.tree_util.tree_map(jnp.add, params, updates)
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, acc_grads)
+                return new_params, new_opt, zeros
+
+            def skip_branch(operand):
+                acc_grads, params, opt_state = operand
+                return params, opt_state, acc_grads
+
+            new_params, new_opt, new_accum = jax.lax.cond(
+                do_apply, apply_branch, skip_branch,
+                (acc_grads, state.params, state.opt_state),
+            )
+            loss_reported = loss / accum
+        else:
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+            new_accum = state.accum_grads
+            loss_reported = loss
+
+        metrics = {
+            name: fn(logits, y, eval=False) for name, fn in bundle.metric_fns
+        }
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_batch_stats,
+            step=state.step + 1,
+            accum_grads=new_accum,
+        )
+        return new_state, {"loss": loss_reported, **metrics}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(bundle: ModelBundle):
+    def step(state: TrainState, x, y):
+        if bundle.data_forming is not None:
+            x, y = bundle.data_forming(None, x, y, "eval")
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits, _ = bundle.apply_fn(variables, x, train=False, rngs=None)
+        loss = bundle.loss_fn(logits, y, eval=True)
+        metrics = {name: fn(logits, y, eval=True) for name, fn in bundle.metric_fns}
+        if bundle.eval_pred_fn is not None:
+            preds = bundle.eval_pred_fn(logits)
+        elif logits.ndim == 3:
+            preds = logits.mean(axis=1)  # head-mean (src/framework.py:191)
+        else:
+            preds = logits
+        return {"loss": loss, **metrics}, preds, y
+
+    return jax.jit(step)

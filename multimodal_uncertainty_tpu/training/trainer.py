@@ -1,0 +1,269 @@
+"""Epoch driver: the TPU-native equivalent of the reference ``Model_``.
+
+The reference trainer (``src/framework.py:98-355``) interleaves host-side
+Python per batch (data forming, metric sync, callbacks). Here the per-batch
+work is one jitted XLA program (see :mod:`training.steps`); the driver only
+dispatches batches, keeps *device* scalars for the running sums, and syncs
+once per epoch — callbacks, history and checkpoints stay on the host.
+
+Behavioral parity preserved exactly:
+ - size-weighted running means of loss/metrics (``src/framework.py:76-78``)
+ - train metrics on the train head-layout, eval metrics on head-mean
+ - early stopping counts epochs with train acc == 100, stopping after
+   ``patience`` such epochs (``src/framework.py:344-349``)
+ - NaN train loss aborts at epoch end (``:319`` + break at ``:349``)
+ - ``eval_loop`` result dict keys ``{phase}_loss``/``{phase}_{metric}``/
+   ``{phase}_auc``; AUROC computed host-side on gathered head-mean preds
+ - scheduler stepping: 'batch' (schedule compiled into the optimizer) vs
+   'epoch' (ReduceLROnPlateau on ``kwargs['scheduler_metric']``)
+ - MMBT freeze_img/freeze_txt epochs (``src/framework.py:246-248,280-285``)
+   via traced grad masks, and gradient accumulation (``:294-304``)
+"""
+from __future__ import annotations
+
+import math
+import timeit
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_uncertainty_tpu.ops.metrics import binary_auroc
+from multimodal_uncertainty_tpu.training.callbacks import (
+    CallbackList,
+    ProgressionCallback,
+    ValidationProgressionCallback,
+)
+from multimodal_uncertainty_tpu.training.state import TrainState
+from multimodal_uncertainty_tpu.training.steps import (
+    ModelBundle,
+    build_eval_step,
+    build_train_step,
+)
+
+
+def _device_batch(batch):
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+class Trainer:
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        optimizer,
+        state: TrainState,
+        *,
+        rng: jax.Array,
+        metrics_names: Sequence[str] = ("acc",),
+        plateau_scheduler=None,
+        gradient_accumulation_steps: int = 1,
+        size_fn: Optional[Callable] = None,
+        verbose: bool = True,
+        put_batch_fn: Optional[Callable] = None,
+    ):
+        self.bundle = bundle
+        self.optimizer = optimizer
+        self.state = state
+        self.rng = rng
+        self.metrics_names = list(metrics_names)
+        self.plateau_scheduler = plateau_scheduler
+        self.verbose = verbose
+        self.size_fn = size_fn or (lambda x, y: len(y))
+        self.put_batch = put_batch_fn or _device_batch
+        self._train_step = build_train_step(
+            bundle, optimizer, gradient_accumulation_steps=gradient_accumulation_steps
+        )
+        self._eval_step = build_eval_step(bundle)
+
+    # -- checkpoint interface used by ModelCheckpoint ----------------------
+    def checkpointable_state(self):
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        return variables, self.state.opt_state
+
+    # ----------------------------------------------------------------------
+    def eval_loop(
+        self,
+        generator: Iterable,
+        phase: str,
+        *,
+        steps: Optional[int] = None,
+        auc: bool = False,
+    ) -> dict:
+        if steps is None:
+            steps = len(generator)
+        callback = ValidationProgressionCallback(
+            phase=phase, steps=steps, metrics_names=["loss"] + self.metrics_names
+        )
+
+        losses, metric_vals, sizes = [], [], []
+        preds_all, labels_all = [], []
+        for batch_ind, (x, y) in zip(range(1, steps + 1), generator):
+            batch_begin_time = timeit.default_timer()
+            if self.verbose:
+                callback.on_batch_begin(batch_ind, {})
+            size = self.size_fn(x, y)
+            x, y = self.put_batch((x, y))
+            logs, preds, labels = self._eval_step(self.state, x, y)
+            losses.append(logs["loss"])
+            metric_vals.append([logs[m] for m in self.metrics_names])
+            sizes.append(size)
+            preds_all.append(preds)
+            labels_all.append(labels)
+            if self.verbose:
+                callback.on_batch_end(
+                    batch_ind,
+                    {
+                        "batch": batch_ind,
+                        "size": size,
+                        "batch_begin_time": batch_begin_time,
+                        "loss": logs["loss"],
+                        **{m: logs[m] for m in self.metrics_names},
+                    },
+                )
+
+        sizes_np = np.asarray(sizes, np.float64)
+        losses_np = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
+        loss = float((losses_np * sizes_np).sum() / sizes_np.sum()) if sizes_np.sum() else 0.0
+        info = {f"{phase}_loss": loss}
+        if metric_vals:
+            mv = np.asarray(
+                jax.device_get(jnp.asarray(metric_vals)), np.float64
+            )  # (steps, n_metrics)
+            weighted = (mv * sizes_np[:, None]).sum(0) / sizes_np.sum()
+            info.update(
+                {f"{phase}_{m}": float(v) for m, v in zip(self.metrics_names, weighted)}
+            )
+        if auc:
+            preds = np.concatenate(jax.device_get(preds_all), axis=0)
+            labels = np.concatenate(jax.device_get(labels_all), axis=0).reshape(-1)
+            info[f"{phase}_auc"] = binary_auroc(labels, preds[:, 1])
+        return info
+
+    # ----------------------------------------------------------------------
+    def train_loop(
+        self,
+        train_generator,
+        test_generator=None,
+        valid_generator=None,
+        *,
+        epochs: int = 1000,
+        steps_per_epoch: Optional[int] = None,
+        validation_steps: Optional[int] = None,
+        test_steps: Optional[int] = None,
+        patience: int = 10,
+        callbacks: Sequence = (),
+        epoch_start: int = 1,
+        scheduler_step_on: str = "epoch",
+        auc: bool = False,
+        freeze_img: int = 0,
+        freeze_txt: int = 0,
+        scheduler_metric: Optional[str] = None,
+        **kwargs: Any,
+    ):
+        callback_list = CallbackList(list(callbacks))
+        if self.verbose:
+            callback_list.append(ProgressionCallback())
+        callback_list.set_params({"epochs": epochs, "steps": steps_per_epoch})
+        callback_list.set_trainer(self)
+
+        stop_training = False
+        stopped_epoch, counter = 0, 0
+
+        callback_list.on_train_begin({})
+        for epoch in range(epoch_start, epochs + 1):
+            flags = None
+            if self.bundle.grad_mask_fn is not None:
+                flags = jnp.asarray(
+                    [epoch < freeze_img, epoch < freeze_txt], jnp.bool_
+                )
+
+            callback_list.on_epoch_begin(epoch, {})
+            epoch_begin_time = timeit.default_timer()
+
+            losses, metric_vals, sizes = [], [], []
+            n_steps = steps_per_epoch if steps_per_epoch is not None else len(
+                train_generator
+            )
+            for batch_ind, (x, y) in zip(range(1, n_steps + 1), train_generator):
+                batch_begin_time = timeit.default_timer()
+                callback_list.on_batch_begin(batch_ind, {})
+                callback_list.on_forward_begin(batch_ind, (x, y))
+                size = self.size_fn(x, y)
+                x, y = self.put_batch((x, y))
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self.rng, epoch), batch_ind
+                )
+                self.state, logs = self._train_step(self.state, x, y, key, flags)
+                losses.append(logs["loss"])
+                metric_vals.append([logs[m] for m in self.metrics_names])
+                sizes.append(size)
+                callback_list.on_backward_end(batch_ind)
+                callback_list.on_batch_end(
+                    batch_ind,
+                    {
+                        "batch": batch_ind,
+                        "size": size,
+                        "time": timeit.default_timer() - batch_begin_time,
+                        "batch_begin_time": batch_begin_time,
+                        "loss": logs["loss"],
+                        **{m: logs[m] for m in self.metrics_names},
+                    },
+                )
+
+            sizes_np = np.asarray(sizes, np.float64)
+            losses_np = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
+            mv = np.asarray(jax.device_get(jnp.asarray(metric_vals)), np.float64)
+            denom = sizes_np.sum() if sizes_np.sum() else 1.0
+            train_dict = {"loss": float((losses_np * sizes_np).sum() / denom)}
+            weighted = (mv * sizes_np[:, None]).sum(0) / denom
+            train_dict.update(
+                {m: float(v) for m, v in zip(self.metrics_names, weighted)}
+            )
+            if math.isnan(train_dict["loss"]):
+                stop_training = True
+
+            val_dict = (
+                self.eval_loop(valid_generator, "val", steps=validation_steps, auc=auc)
+                if valid_generator is not None
+                else {}
+            )
+            test_dict = (
+                self.eval_loop(test_generator, "test", steps=test_steps, auc=auc)
+                if test_generator is not None
+                else {}
+            )
+
+            epoch_log = {
+                "epoch": epoch,
+                "time": timeit.default_timer() - epoch_begin_time,
+                "epoch_begin_time": epoch_begin_time,
+                **train_dict,
+                **val_dict,
+                **test_dict,
+            }
+
+            if scheduler_step_on == "epoch" and self.plateau_scheduler is not None:
+                scale = self.plateau_scheduler.step(epoch_log[scheduler_metric])
+                self.state = self.state.replace(
+                    opt_state={
+                        **self.state.opt_state,
+                        "lr_scale": jnp.asarray(scale, jnp.float32),
+                    }
+                )
+
+            callback_list.on_epoch_end(epoch, epoch_log)
+
+            if epoch_log.get("acc") == 100:
+                counter += 1
+            if counter >= patience:
+                stopped_epoch, stop_training = epoch, True
+            if stop_training:
+                break
+
+        callback_list.on_train_end({})
+        if stopped_epoch > 0:
+            print("Epoch %05d: completed stopping" % stopped_epoch)
+        return self.state

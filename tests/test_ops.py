@@ -1,0 +1,164 @@
+"""Numerics tests: losses, metrics, attention (XLA vs Pallas-interpret), norms."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from multimodal_uncertainty_tpu.ops.attention import (
+    scaled_dot_product_attention,
+    sdpa_xla,
+)
+from multimodal_uncertainty_tpu.ops.losses import mimo_cross_entropy, softmax_cross_entropy
+from multimodal_uncertainty_tpu.ops.metrics import (
+    accuracy,
+    binary_auroc,
+    expected_calibration_error,
+)
+from multimodal_uncertainty_tpu.ops.norms import layer_norm_pallas, layer_norm_xla
+
+
+def test_softmax_ce_matches_torch():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(16, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(16,))
+    ours = float(softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    theirs = float(F.cross_entropy(torch.tensor(logits), torch.tensor(labels)))
+    assert abs(ours - theirs) < 5e-5
+
+
+def test_mimo_ce_train_eval_layouts():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(8, 4, 10)).astype(np.float32)
+    y_train = rng.integers(0, 10, size=(8, 4))
+    y_eval = rng.integers(0, 10, size=(8,))
+
+    ours_train = float(mimo_cross_entropy(jnp.asarray(logits), jnp.asarray(y_train)))
+    ref_train = float(
+        F.cross_entropy(torch.tensor(logits).view(-1, 10), torch.tensor(y_train).view(-1))
+    )
+    assert abs(ours_train - ref_train) < 1e-5
+
+    ours_eval = float(
+        mimo_cross_entropy(jnp.asarray(logits), jnp.asarray(y_eval), eval=True)
+    )
+    ref_eval = float(
+        F.cross_entropy(torch.tensor(logits).mean(1), torch.tensor(y_eval))
+    )
+    assert abs(ours_eval - ref_eval) < 1e-5
+
+
+def test_accuracy_layouts():
+    logits = jnp.asarray(
+        [[[10.0, 0.0], [0.0, 10.0]], [[10.0, 0.0], [10.0, 0.0]]]
+    )  # (2, 2, 2)
+    y_train = jnp.asarray([[0, 1], [0, 0]])
+    assert float(accuracy(logits, y_train, eval=False)) == 100.0
+    y_eval = jnp.asarray([0, 0])
+    assert float(accuracy(logits, y_eval, eval=True)) == 100.0
+    assert float(accuracy(logits, jnp.asarray([1, 1]), eval=True)) == 0.0
+
+
+def test_auroc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        labels = rng.integers(0, 2, size=200)
+        scores = rng.normal(size=200) + labels * rng.uniform(0, 2)
+        scores[::7] = scores[3]  # inject ties
+        assert abs(binary_auroc(labels, scores) - roc_auc_score(labels, scores)) < 1e-12
+
+
+def test_ece_perfect_calibration_is_zero():
+    probs = np.array([[1.0, 0.0]] * 50 + [[0.0, 1.0]] * 50)
+    labels = np.array([0] * 50 + [1] * 50)
+    assert expected_calibration_error(probs, labels) < 1e-12
+    # fully confident & always wrong -> ECE 1
+    assert abs(expected_calibration_error(probs, 1 - labels) - 1.0) < 1e-12
+
+
+def _torch_mha_reference(q, k, v, key_mask=None):
+    """torch SDPA as ground truth; q,k,v: (B,H,S,D)."""
+    tq, tk, tv = (torch.tensor(np.asarray(t)) for t in (q, k, v))
+    attn_mask = None
+    if key_mask is not None:
+        km = torch.tensor(np.asarray(key_mask))
+        attn_mask = torch.zeros(km.shape[0], 1, 1, km.shape[1])
+        attn_mask = attn_mask.masked_fill(~km[:, None, None, :], float("-inf"))
+    return F.scaled_dot_product_attention(tq, tk, tv, attn_mask=attn_mask).numpy()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_sdpa_xla_matches_torch(masked):
+    rng = np.random.default_rng(3)
+    b, h, s, d = 2, 3, 17, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)) for _ in range(3))
+    mask = None
+    if masked:
+        mask = jnp.asarray(rng.random((b, s)) > 0.3)
+        mask = mask.at[:, 0].set(True)  # keep at least one key
+    ours = np.asarray(sdpa_xla(q, k, v, mask))
+    ref = _torch_mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_sdpa_pallas_interpret_matches_xla(masked):
+    rng = np.random.default_rng(4)
+    b, h, s, d = 2, 2, 32, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)) for _ in range(3))
+    mask = None
+    if masked:
+        mask = jnp.asarray(rng.random((b, s)) > 0.4)
+        mask = mask.at[:, 0].set(True)
+    ref = sdpa_xla(q, k, v, mask)
+    out = scaled_dot_product_attention(q, k, v, mask, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sdpa_pallas_gradients_match_xla():
+    rng = np.random.default_rng(5)
+    b, h, s, d = 1, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)) for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+
+    def loss_fn(impl):
+        def f(q, k, v):
+            out = scaled_dot_product_attention(q, k, v, mask, impl=impl)
+            return jnp.sum(out**2)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_ref = loss_fn("xla")
+    g_pal = loss_fn("pallas_interpret")
+    for a, b_ in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_layernorm_matches_torch_and_pallas():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(4, 7, 64)).astype(np.float32)
+    w = rng.normal(size=(64,)).astype(np.float32)
+    b = rng.normal(size=(64,)).astype(np.float32)
+    ref = F.layer_norm(torch.tensor(x), (64,), torch.tensor(w), torch.tensor(b)).numpy()
+    ours = np.asarray(layer_norm_xla(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    pal = np.asarray(
+        layer_norm_pallas(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), interpret=True)
+    )
+    np.testing.assert_allclose(pal, ref, atol=1e-5)
+
+
+def test_layernorm_bf16_runs_fp32_internally():
+    # A bf16 input with large mean would lose precision if normalized in bf16.
+    x = (jnp.ones((2, 128)) * 300.0 + jnp.linspace(0, 1, 128)[None]).astype(jnp.bfloat16)
+    w = jnp.ones((128,), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    out = layer_norm_xla(x, w, b)
+    assert out.dtype == jnp.bfloat16
+    f32 = layer_norm_xla(x.astype(jnp.float32), w, b)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(f32), atol=0.05
+    )

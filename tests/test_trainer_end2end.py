@@ -1,0 +1,175 @@
+"""End-to-end trainer tests: tiny synthetic FashionMNIST MIMO + FLAVA fusion."""
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
+from multimodal_uncertainty_tpu.training.loop import (
+    construct_default_callbacks,
+    load_history,
+    resume_train_state,
+)
+from multimodal_uncertainty_tpu.training.trainer import Trainer
+from multimodal_uncertainty_tpu.zoo import setup_flava, setup_fashionmnist
+
+
+def _run_fmnist(tmp_path, model_type, *, n_epochs=2, transformer=False):
+    train, valid, _ = get_fmnist(
+        batch_size=32, synthetic=True, synthetic_n=128, seed=7
+    )
+    setup = setup_fashionmnist(
+        model_type=model_type,
+        transformer=transformer,
+        lr=0.05,
+        total_steps=len(train) * n_epochs,
+        seed_key=jax.random.key(1),
+        attn_impl="xla",
+    )
+    H = {}
+    callbacks = construct_default_callbacks(H, str(tmp_path))
+    for c in callbacks:
+        c.set_save_path(str(tmp_path))
+    trainer = Trainer(
+        setup.bundle,
+        setup.optimizer,
+        setup.state,
+        rng=jax.random.key(2),
+        plateau_scheduler=setup.plateau,
+        size_fn=setup.size_fn,
+        verbose=False,
+    )
+    trainer.train_loop(
+        train,
+        valid_generator=valid,
+        test_generator=valid,
+        steps_per_epoch=len(train),
+        validation_steps=len(valid),
+        test_steps=len(valid),
+        epochs=n_epochs,
+        callbacks=callbacks,
+        patience=10,
+        scheduler_step_on=setup.scheduler_step_on,
+        scheduler_metric=setup.scheduler_metric,
+        auc=False,
+    )
+    return H, trainer, setup
+
+
+@pytest.mark.parametrize(
+    "model_type",
+    ["Vanilla", "MultiHead", "MIMO-shuffle-instance", "single-model-weight-sharing"],
+)
+def test_fmnist_end2end(tmp_path, model_type):
+    H, trainer, setup = _run_fmnist(tmp_path, model_type)
+    # history contract
+    csv = pd.read_csv(os.path.join(tmp_path, "history.csv"))
+    for col in ["epoch", "loss", "acc", "val_loss", "val_acc", "test_loss", "test_acc", "time"]:
+        assert col in csv.columns, col
+    assert len(csv) == 2
+    # checkpoints
+    for f in ["model_best_val.pt", "model_last_epoch.pt", "model_epoch_1.pt", "model_epoch_2.pt"]:
+        assert os.path.exists(os.path.join(tmp_path, f)), f
+    # learning happened (loss finite and improved or at least sane)
+    assert np.isfinite(csv["loss"]).all()
+    assert csv["loss"].iloc[-1] < csv["loss"].iloc[0] * 1.5
+
+
+def test_fmnist_resume(tmp_path):
+    H, trainer, setup = _run_fmnist(tmp_path, "MultiHead", n_epochs=2)
+    ckpt = os.path.join(tmp_path, "model_last_epoch.pt")
+    # fresh state, restore, compare a param leaf
+    fresh = setup_fashionmnist(
+        model_type="MultiHead", lr=0.05, seed_key=jax.random.key(99)
+    )
+    restored = resume_train_state(fresh.state, ckpt)
+    old_leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    new_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(old_leaf), np.asarray(new_leaf))
+    # optimizer state restored too (fixes reference gap)
+    old_mu = jax.tree_util.tree_leaves(trainer.state.opt_state["momentum"])[0]
+    new_mu = jax.tree_util.tree_leaves(restored.opt_state["momentum"])[0]
+    np.testing.assert_allclose(np.asarray(old_mu), np.asarray(new_mu))
+    # history replay
+    Hr = load_history(str(tmp_path))
+    assert len(Hr["epoch"]) == 2
+
+
+def test_fmnist_transformer_end2end(tmp_path):
+    H, trainer, setup = _run_fmnist(
+        tmp_path, "MIMO-shuffle-instance", n_epochs=1, transformer=True
+    )
+    csv = pd.read_csv(os.path.join(tmp_path, "history.csv"))
+    assert np.isfinite(csv["loss"]).all()
+
+
+def _synthetic_flava_batch(rng, b, li, lt, n_classes=2):
+    img = rng.normal(size=(b, li, 768)).astype(np.float32)
+    txt = rng.normal(size=(b, lt, 768)).astype(np.float32)
+    y = rng.integers(0, n_classes, size=b).astype(np.int64)
+    # make it learnable: shift img embeddings by label
+    img += y[:, None, None] * 0.5
+    return (img, txt), y
+
+
+class _FlavaToyLoader:
+    def __init__(self, n_batches, b, li, lt, seed):
+        self.n_batches = n_batches
+        self.rng = np.random.default_rng(seed)
+        self.batches = [
+            _synthetic_flava_batch(self.rng, b, li, lt) for _ in range(n_batches)
+        ]
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+@pytest.mark.parametrize("model_type,clstoken,avg_pool", [
+    ("Vanilla", False, False),
+    ("MIMO-shuffle-instance", False, False),
+    ("MultiHead", True, False),
+    ("MultiHead", False, True),
+])
+def test_flava_end2end(tmp_path, model_type, clstoken, avg_pool):
+    b, li, lt = 8, 9, 7
+    train = _FlavaToyLoader(4, b, li, lt, seed=3)
+    setup = setup_flava(
+        model_type=model_type,
+        n_classes=2,
+        lr=3e-4,
+        n_epochs=2,
+        steps_per_epoch=len(train),
+        multimodal_num_hidden_layers=1,
+        clstoken=clstoken,
+        avg_pool=avg_pool,
+        sample_shapes=((b, li), (b, lt)),
+        seed_key=jax.random.key(5),
+        attn_impl="xla",
+    )
+    H = {}
+    callbacks = construct_default_callbacks(H, str(tmp_path))
+    trainer = Trainer(
+        setup.bundle,
+        setup.optimizer,
+        setup.state,
+        rng=jax.random.key(6),
+        verbose=False,
+    )
+    trainer.train_loop(
+        train,
+        valid_generator=train,
+        test_generator=train,
+        steps_per_epoch=len(train),
+        epochs=2,
+        callbacks=callbacks,
+        scheduler_step_on="batch",
+        auc=True,
+    )
+    csv = pd.read_csv(os.path.join(tmp_path, "history.csv"))
+    assert "val_auc" in csv.columns and "test_auc" in csv.columns
+    assert np.isfinite(csv["loss"]).all()
