@@ -1,0 +1,162 @@
+"""Benchmark: flagship FLAVA-fusion MIMO training throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+reference-equivalent torch model (same architecture/af/optimizer family) run
+on CPU — matching BASELINE.json's north star of ">=5x CPU-reference
+end-to-end samples/sec/chip". Config: FLAVA fusion transformer
+(768 wide, 3 layers, 3 heads), MIMO-shuffle-instance, batch 256,
+197 image + 77 text tokens — the Hateful-Memes training shape.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+B, LI, LT, D = 256, 197, 77, 768
+N_CLASSES = 2
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+BASELINE_STEPS = 2
+BASELINE_B = 64
+
+# Measured once in this container (1 vCPU, torch 2.13 CPU, 1 thread,
+# batch 64, 3-layer/768-wide fusion transformer fwd+bwd+AdamW):
+# 0.95 samples/sec. Re-measure with --remeasure-baseline (takes ~4 min).
+CACHED_BASELINE_SPS = 0.95
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.zoo import setup_flava
+
+    setup = setup_flava(
+        model_type="MIMO-shuffle-instance",
+        n_classes=N_CLASSES,
+        lr=1e-4,
+        n_epochs=100,
+        steps_per_epoch=100,
+        sample_shapes=((B, LI), (B, LT)),
+        seed_key=jax.random.key(0),
+        attn_impl="auto",
+        dtype=jnp.bfloat16,
+    )
+    from multimodal_uncertainty_tpu.training.steps import build_train_step
+
+    train_step = build_train_step(setup.bundle, setup.optimizer)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(B, LI, D)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(B, LT, D)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, N_CLASSES, size=B).astype(np.int64))
+
+    state = setup.state
+    for i in range(WARMUP_STEPS):
+        state, logs = train_step(state, (img, txt), y, jax.random.key(i), None)
+    jax.block_until_ready(logs["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, logs = train_step(state, (img, txt), y, jax.random.key(100 + i), None)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+    return B * MEASURE_STEPS / dt
+
+
+def bench_torch_cpu_baseline() -> float:
+    """Reference-equivalent model in torch on CPU (architecture per
+    reference src/model.py:225-304: pre-LN CLIP blocks, QuickGELU, AdamW)."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Block(nn.Module):
+        def __init__(self, d, h):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(d, h, batch_first=True)
+            self.ln1 = nn.LayerNorm(d)
+            self.fc = nn.Linear(d, 4 * d)
+            self.proj = nn.Linear(4 * d, d)
+            self.ln2 = nn.LayerNorm(d)
+
+        def forward(self, x):
+            h = self.ln1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            h = self.fc(self.ln2(x))
+            h = self.proj(h * torch.sigmoid(1.702 * h))  # QuickGELU
+            return x + h
+
+    class Fusion(nn.Module):
+        def __init__(self, d=D, layers=3, heads=3, e=2, c=N_CLASSES):
+            super().__init__()
+            self.pi = nn.Linear(d, d)
+            self.pt = nn.Linear(d, d)
+            self.ln_pre = nn.LayerNorm(d)
+            self.blocks = nn.ModuleList([Block(d, heads) for _ in range(layers)])
+            self.ln_post = nn.LayerNorm(d)
+            self.heads = nn.ModuleList([nn.Linear(d, c) for _ in range(e)])
+
+        def forward(self, img, txt):
+            x = torch.cat([self.pi(img), self.pt(txt)], dim=1)
+            x = self.ln_pre(x)
+            for b in self.blocks:
+                x = b(x)
+            x = self.ln_post(x)
+            return torch.stack([f(x[:, i]) for i, f in enumerate(self.heads)], 1)
+
+    model = Fusion()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4, betas=(0.9, 0.98), eps=1e-9)
+    loss_fn = nn.CrossEntropyLoss()
+    g = torch.Generator().manual_seed(0)
+    bb = BASELINE_B
+    img = torch.randn(bb, LI, D, generator=g)
+    txt = torch.randn(bb, LT, D, generator=g)
+    y = torch.randint(0, N_CLASSES, (bb, 2), generator=g)
+
+    def step():
+        opt.zero_grad()
+        # MIMO shuffle (reference data_forming_func_transformer)
+        pi, pt = torch.randperm(bb, generator=g), torch.randperm(bb, generator=g)
+        out = model(img[pi], txt[pt])
+        loss = loss_fn(out.reshape(-1, N_CLASSES), torch.stack([y[pi, 0], y[pt, 1]], 1).reshape(-1))
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(BASELINE_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return bb * BASELINE_STEPS / dt
+
+
+def main():
+    if "--remeasure-baseline" in sys.argv:
+        baseline_sps = bench_torch_cpu_baseline()
+    else:
+        baseline_sps = CACHED_BASELINE_SPS
+    tpu_sps = bench_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "flava_fusion_mimo_train_samples_per_sec_per_chip",
+                "value": round(tpu_sps, 2),
+                "unit": "samples/sec",
+                "vs_baseline": round(tpu_sps / baseline_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Precomputed-FLAVA-embedding datasets (Hateful-Memes / Food-101 path).
+
+Reference (``src/dataset.py:177-226``): jsonl metadata + per-sample
+``.img``/``.text`` embedding tensors loaded with two ``torch.load`` calls per
+item — the throughput bottleneck of the flava runs (SURVEY §3.1).
+
+TPU re-design: embeddings are packed once into consolidated **memory-mapped
+.npy shards** (one per split) with a row-offset index; batches are assembled
+with vectorized slicing into fixed padded buckets (padding value 0.0, parity
+with ``collate_fn_flava``), so steady-state input cost is a memcpy. The
+legacy per-file layout is still readable (``FlavaEncodedDataset``) and a
+``pack_split`` converter upgrades it to shards.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_uncertainty_tpu.data.loaders import MapLoader
+
+
+def read_jsonl(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def load_error_cases(prefix_dir: str, phase: str) -> List[int]:
+    p = os.path.join(prefix_dir, "flava_embeds", f"{phase}_error_cases.txt")
+    with open(p) as f:
+        return [int(x) for x in f.read().split("\n")[:-1]]
+
+
+class BaseDataset:
+    """jsonl metadata, optional FLAVA-error-case removal
+    (reference ``src/dataset.py:177-194``)."""
+
+    def __init__(self, prefix_dir, phase, label_dict=None, error_cases_remover=True,
+                 **kwargs):
+        rows = read_jsonl(os.path.join(prefix_dir, f"{phase}.jsonl"))
+        self.label_dict = label_dict
+        if error_cases_remover:
+            drop = set(load_error_cases(prefix_dir, phase))
+            rows = [r for i, r in enumerate(rows) if i not in drop]
+        self.rows = rows
+
+    def __len__(self):
+        return len(self.rows)
+
+
+def _load_tensor_file(path: str) -> np.ndarray:
+    """Read a per-sample embedding file: .npy, or torch-pickled tensor."""
+    if path.endswith(".npy") or _is_npy(path):
+        return np.load(path, allow_pickle=False)
+    import torch  # noqa: PLC0415 — legacy format only
+
+    return torch.load(path, map_location="cpu", weights_only=True).numpy()
+
+
+def _is_npy(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(6) == b"\x93NUMPY"
+    except OSError:
+        return False
+
+
+class FlavaEncodedDataset(BaseDataset):
+    """Per-item loader over the legacy file-per-sample layout."""
+
+    def __init__(self, prefix_dir, phase, label_dict, error_cases_remover=True,
+                 *, name_extractor: Callable, **kwargs):
+        super().__init__(prefix_dir, phase, label_dict, error_cases_remover)
+        self.name_extractor = name_extractor
+        self.emb_dir = os.path.join(prefix_dir, "flava_embeds")
+
+    def __getitem__(self, idx):
+        row = self.rows[idx]
+        save_name = self.name_extractor(row["img"])
+        img = _load_tensor_file(os.path.join(self.emb_dir, save_name + ".img"))
+        txt = _load_tensor_file(os.path.join(self.emb_dir, save_name + ".text"))
+        label = self.label_dict.index(row["label"])
+        return img, txt, label
+
+
+def collate_fn_flava(batch) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:
+    """Zero-pad variable-length embedding sequences
+    (reference ``src/dataset.py:216-226``)."""
+    imgs, txts, labels = zip(*batch)
+    li = max(i.shape[0] for i in imgs)
+    lt = max(t.shape[0] for t in txts)
+    d = imgs[0].shape[-1]
+    img_out = np.zeros((len(batch), li, d), np.float32)
+    txt_out = np.zeros((len(batch), lt, d), np.float32)
+    for n, (i, t) in enumerate(zip(imgs, txts)):
+        img_out[n, : i.shape[0]] = i
+        txt_out[n, : t.shape[0]] = t
+    return (img_out, txt_out), np.asarray(labels, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Packed memory-mapped shards (the TPU-native fast path)
+# ---------------------------------------------------------------------------
+
+
+def pack_split(dataset: FlavaEncodedDataset, out_dir: str, phase: str) -> None:
+    """Convert a per-file split into consolidated shards:
+    {phase}_img.npy (rows, concatenated), {phase}_img_offsets.npy, same for
+    text, plus {phase}_labels.npy."""
+    os.makedirs(out_dir, exist_ok=True)
+    img_parts, txt_parts, labels = [], [], []
+    img_off, txt_off = [0], [0]
+    for i in range(len(dataset)):
+        img, txt, label = dataset[i]
+        img_parts.append(np.asarray(img, np.float32))
+        txt_parts.append(np.asarray(txt, np.float32))
+        labels.append(label)
+        img_off.append(img_off[-1] + img.shape[0])
+        txt_off.append(txt_off[-1] + txt.shape[0])
+    np.save(os.path.join(out_dir, f"{phase}_img.npy"), np.concatenate(img_parts))
+    np.save(os.path.join(out_dir, f"{phase}_txt.npy"), np.concatenate(txt_parts))
+    np.save(os.path.join(out_dir, f"{phase}_img_offsets.npy"), np.asarray(img_off))
+    np.save(os.path.join(out_dir, f"{phase}_txt_offsets.npy"), np.asarray(txt_off))
+    np.save(os.path.join(out_dir, f"{phase}_labels.npy"), np.asarray(labels, np.int64))
+
+
+class PackedFlavaDataset:
+    """Memory-mapped consolidated shards; O(1) open, zero-copy row access."""
+
+    def __init__(self, shard_dir: str, phase: str):
+        self.img = np.load(os.path.join(shard_dir, f"{phase}_img.npy"), mmap_mode="r")
+        self.txt = np.load(os.path.join(shard_dir, f"{phase}_txt.npy"), mmap_mode="r")
+        self.img_off = np.load(os.path.join(shard_dir, f"{phase}_img_offsets.npy"))
+        self.txt_off = np.load(os.path.join(shard_dir, f"{phase}_txt_offsets.npy"))
+        self.labels = np.load(os.path.join(shard_dir, f"{phase}_labels.npy"))
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, idx):
+        i0, i1 = self.img_off[idx], self.img_off[idx + 1]
+        t0, t1 = self.txt_off[idx], self.txt_off[idx + 1]
+        return self.img[i0:i1], self.txt[t0:t1], int(self.labels[idx])
+
+
+def has_packed(shard_dir: str, phase: str) -> bool:
+    return os.path.exists(os.path.join(shard_dir, f"{phase}_labels.npy"))
+
+
+def get_dataset_flava(args, datapath: str):
+    """Reference ``get_dataset_flava`` (``src/dataset.py:324-336``): build
+    train/dev/test loaders. Prefers packed shards under
+    ``{datapath}/flava_packed`` and falls back to the per-file layout."""
+    shard_dir = os.path.join(datapath, "flava_packed")
+
+    def make(phase):
+        if has_packed(shard_dir, phase):
+            return PackedFlavaDataset(shard_dir, phase)
+        return FlavaEncodedDataset(
+            datapath,
+            phase,
+            args.labels,
+            args.error_cases_remover,
+            name_extractor=args.name_extractor,
+        )
+
+    training, dev, testing = make("train"), make("dev"), make("test")
+    from multimodal_uncertainty_tpu.data.loaders import subset_then_loaders
+
+    return subset_then_loaders(training, dev, testing, collate_fn_flava, args)

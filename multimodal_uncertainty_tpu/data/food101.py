@@ -1,0 +1,236 @@
+"""Raw-pixel Food-101 pipeline for MMBT (+ the offline dataset formatter).
+
+Reference: ``JsonlDataset``/``collate_fn``/``get_food101``
+(``src/dataset.py:348-545``) and the offline formatter
+(``data/food101.py:21-78``). Text is tokenized to BERT wordpieces with the
+[SEP] start-token convention and truncated to ``max_seq_len -
+num_image_embeds``; images get resize-256/center-crop-224; ``drop_img_percent``
+replaces images with a constant gray frame under a fixed numpy seed (0).
+Collation left-aligns text with a 0/1 mask. Images travel to device as uint8
+(normalization is fused on-device — see data/images.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import string
+from collections import Counter
+from typing import List, Optional
+
+import numpy as np
+
+from multimodal_uncertainty_tpu.data.images import (
+    FOOD101_MEAN,
+    FOOD101_STD,
+    gray_image,
+    resize_center_crop,
+)
+from multimodal_uncertainty_tpu.data.loaders import MapLoader
+from multimodal_uncertainty_tpu.data.tokenization import BertTokenizer, Vocab, get_vocab
+from multimodal_uncertainty_tpu.utils.seeding import numpy_seed
+
+
+def get_labels_and_frequencies(path: str):
+    """Reference ``src/dataset.py:408-417``."""
+    label_freqs = Counter()
+    data_labels = [json.loads(line)["label"] for line in open(path)]
+    if data_labels and isinstance(data_labels[0], list):
+        for row in data_labels:
+            label_freqs.update(row)
+    else:
+        label_freqs.update(data_labels)
+    return list(label_freqs.keys()), label_freqs
+
+
+class JsonlDataset:
+    """Reference ``JsonlDataset`` (``src/dataset.py:348-405``)."""
+
+    def __init__(
+        self,
+        data_path: str,
+        tokenizer,  # callable: text -> wordpiece list
+        vocab: Vocab,
+        n_classes: int,
+        drop_img_percent: float,
+        max_seq_len: int,
+        num_image_embeds: int,
+        labels: List,
+        image_size: int = 224,
+    ):
+        self.data = [json.loads(l) for l in open(data_path)]
+        self.data_dir = os.path.dirname(data_path)
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+        self.n_classes = n_classes
+        self.text_start_token = ["[SEP]"]
+        self.labels = labels
+        self.image_size = image_size
+
+        with numpy_seed(0):
+            for row in self.data:
+                if np.random.random() < drop_img_percent:
+                    row["img"] = None
+
+        self.max_seq_len = max_seq_len - num_image_embeds
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index):
+        sentence = (
+            self.text_start_token
+            + self.tokenizer(self.data[index]["text"])[: self.max_seq_len - 1]
+        )
+        token_ids = np.asarray(
+            [
+                self.vocab.stoi.get(w, self.vocab.stoi["[UNK]"])
+                for w in sentence
+            ],
+            np.int64,
+        )
+        segment = np.zeros(len(sentence), np.int64)
+        label = self.labels.index(self.data[index]["label"])
+
+        if self.data[index]["img"]:
+            from PIL import Image
+
+            img = Image.open(
+                os.path.join(self.data_dir, self.data[index]["img"])
+            ).convert("RGB")
+            image = resize_center_crop(img, 256, self.image_size)
+        else:
+            image = resize_center_crop(
+                _pil_from_array(gray_image()), 256, self.image_size
+            )
+
+        # First [SEP] belongs to the image segment (reference :399-403).
+        segment = segment[1:]
+        token_ids = token_ids[1:]
+        segment += 1
+        return token_ids, segment, image, label
+
+
+def _pil_from_array(arr):
+    from PIL import Image
+
+    return Image.fromarray(arr)
+
+
+def collate_fn(batch):
+    """Left-aligned padded text + mask, stacked uint8 images
+    (reference ``src/dataset.py:420-438``)."""
+    lens = [len(row[0]) for row in batch]
+    bsz, max_seq_len = len(batch), max(lens)
+    text = np.zeros((bsz, max_seq_len), np.int64)
+    segment = np.zeros((bsz, max_seq_len), np.int64)
+    mask = np.zeros((bsz, max_seq_len), np.int64)
+    imgs = np.stack([row[2] for row in batch])
+    targets = np.asarray([row[3] for row in batch], np.int64)
+    for i, (row, length) in enumerate(zip(batch, lens)):
+        text[i, :length] = row[0]
+        segment[i, :length] = row[1]
+        mask[i, :length] = 1
+    return (text, segment, mask, imgs), targets
+
+
+def get_food101(
+    vocab_file: Optional[str] = None,
+    datapath: Optional[str] = None,
+    drop_img_percent: float = 0.0,
+    max_seq_len: int = 512,
+    num_image_embeds: int = 3,
+    batch_size: int = 128,
+    n_workers: int = 4,
+    sample_size: Optional[int] = None,
+    seed: int = 42,
+):
+    """Reference ``get_food101`` (``src/dataset.py:474-545``). ``vocab_file``
+    is a local BERT vocab.txt (no network in this environment)."""
+    datapath = datapath or os.environ["DATA_DIR"]
+    if vocab_file is None:
+        vocab_file = os.path.join(datapath, "vocab.txt")
+    bert_tok = BertTokenizer(vocab_file, do_lower_case=True)
+    tokenizer = bert_tok.tokenize
+    vocab = get_vocab(vocab_file)
+
+    labels, _ = get_labels_and_frequencies(os.path.join(datapath, "train.jsonl"))
+    n_classes = len(labels)
+
+    def make(split):
+        return JsonlDataset(
+            os.path.join(datapath, f"{split}.jsonl"),
+            tokenizer,
+            vocab,
+            n_classes,
+            drop_img_percent,
+            max_seq_len,
+            num_image_embeds,
+            labels,
+        )
+
+    train, dev, test = make("train"), make("dev"), make("test")
+    train_loader = MapLoader(
+        train, batch_size, collate_fn, shuffle=True, seed=seed,
+        num_workers=n_workers, sample_size=sample_size,
+    )
+    val_loader = MapLoader(dev, batch_size, collate_fn, num_workers=n_workers)
+    test_loader = MapLoader(test, batch_size, collate_fn, num_workers=n_workers)
+    return train_loader, val_loader, test_loader, n_classes, vocab
+
+
+def format_food101_dataset(datapath: str, dev_size: int = 5000, seed: int = 4):
+    """Offline formatter (reference ``data/food101.py:21-78``): walk
+    ``images/{train,test}/<label>/*``, pair with ``texts_txt/*.txt``, strip
+    punctuation + lowercase, stratified dev split, write ``{split}.jsonl``."""
+    rng = np.random.default_rng(seed)
+    table = str.maketrans("", "", string.punctuation)
+
+    def clean(text: str) -> str:
+        return " ".join(
+            w.translate(table).lower() for w in text.split() if w.translate(table)
+        )
+
+    def rows_for(split):
+        rows = []
+        img_root = os.path.join(datapath, "images", split)
+        for label in sorted(os.listdir(img_root)):
+            label_dir = os.path.join(img_root, label)
+            if not os.path.isdir(label_dir):
+                continue
+            for fname in sorted(os.listdir(label_dir)):
+                stem = os.path.splitext(fname)[0]
+                txt_path = os.path.join(datapath, "texts_txt", f"{stem}.txt")
+                if not os.path.exists(txt_path):
+                    continue
+                with open(txt_path, encoding="utf-8", errors="ignore") as f:
+                    text = clean(f.read())
+                rows.append(
+                    {
+                        "img": os.path.join("images", split, label, fname),
+                        "text": text,
+                        "label": label,
+                    }
+                )
+        return rows
+
+    train_rows = rows_for("train")
+    test_rows = rows_for("test")
+    # stratified dev split of dev_size samples from train
+    by_label = {}
+    for i, r in enumerate(train_rows):
+        by_label.setdefault(r["label"], []).append(i)
+    dev_idx = set()
+    per_label = max(1, dev_size // max(1, len(by_label)))
+    for idxs in by_label.values():
+        sel = rng.permutation(len(idxs))[:per_label]
+        dev_idx.update(idxs[j] for j in sel)
+    splits = {
+        "train": [r for i, r in enumerate(train_rows) if i not in dev_idx],
+        "dev": [r for i, r in enumerate(train_rows) if i in dev_idx],
+        "test": test_rows,
+    }
+    for split, rows in splits.items():
+        with open(os.path.join(datapath, f"{split}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return {k: len(v) for k, v in splits.items()}

@@ -1,0 +1,79 @@
+"""FashionMNIST missing-view robustness sweep (reference ``eval_robustness.py``).
+
+For each view i, ablate it (zero it out; the weight-sharing variant drops
+the view instead, reference ``:100-115``) and re-predict. The reference runs
+M sequential passes over the loader; here all M leave-one-out variants are
+one vmapped forward per batch. Output layout parity: (M_, S, M, C) —
+variant-major, matching ``{ckpt}_predictions_robustness.npy``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def missing_view_sweep(
+    apply_fn,
+    variables,
+    loader,
+    *,
+    model_type: str,
+    data_forming,
+    save_path: Optional[str] = None,
+    checkpoint_name: str = "model",
+):
+    m = 4
+
+    if model_type != "single-model-weight-sharing":
+
+        @jax.jit
+        def fwd_variants(x):
+            # x: (B, M, C, H, W) -> variants (M, B, M, C, H, W), view i zeroed
+            def one(i):
+                mask = (jnp.arange(m) != i).astype(x.dtype)[None, :, None, None, None]
+                return apply_fn(variables, x * mask, train=False, rngs=None)[0]
+
+            return jax.vmap(one)(jnp.arange(m))  # (M_, B, E, C)
+
+    else:
+
+        @jax.jit
+        def fwd_variants(x):
+            # drop view i: gather the other m-1 views, fold into batch
+            def one(i):
+                keep = jnp.argsort(jnp.where(jnp.arange(m) == i, m + 1, jnp.arange(m)))[
+                    : m - 1
+                ]
+                x_ = x[:, keep]  # (B, m-1, C, H, W)
+                b = x_.shape[0]
+                flat = x_.reshape((b * (m - 1),) + x_.shape[2:])
+                out = apply_fn(variables, flat, train=False, rngs=None)[0]
+                return out.reshape(b, m - 1, out.shape[-1])
+
+            return jax.vmap(one)(jnp.arange(m))  # (M_, B, m-1, C)
+
+    outputs, labels = [], []
+    for x, y in loader:
+        x_j = jnp.asarray(x)
+        outputs.append(np.asarray(fwd_variants(x_j)))
+        if model_type == "single-model-weight-sharing":
+            # reference saves the *formed* labels, i.e. repeated per kept view
+            # (eval_robustness.py:110-119)
+            labels.append(np.repeat(np.asarray(y), m - 1))
+        else:
+            labels.append(np.asarray(y))
+
+    outputs = np.concatenate(outputs, axis=1)  # (M_, S, M(or m-1), C)
+    labels = np.concatenate(labels, axis=0)
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(
+            os.path.join(save_path, f"{checkpoint_name}_predictions_robustness.npy"),
+            outputs,
+        )
+        np.save(os.path.join(save_path, f"{checkpoint_name}_labels.npy"), labels)
+    return outputs, labels

@@ -1,0 +1,7 @@
+from multimodal_uncertainty_tpu.parallel.mesh import make_mesh  # noqa: F401
+from multimodal_uncertainty_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    replicated,
+    shard_state,
+    transformer_tp_rules,
+)

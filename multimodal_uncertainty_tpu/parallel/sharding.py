@@ -1,0 +1,118 @@
+"""Sharding rules and state placement.
+
+Design (How-to-Scale recipe): pick a mesh, annotate shardings on the state
+and batch, let XLA insert collectives.
+
+* **DP**: batch P('data', ...); params replicated -> grad psum over 'data'.
+* **TP** (fusion/MIMO transformers): MLP and attention projections shard
+  over 'model' — c_fc kernel (D, 4D) -> P(None,'model'), c_proj (4D, D) ->
+  P('model', None), packed qkv in_proj (D, 3D) -> P(None,'model'), out_proj
+  (D, D) -> P('model', None). Activations stay P('data', None, None); XLA
+  turns the pair into an all-reduce-free megatron pattern with one psum per
+  block.
+* **EP** (ensemble axis): the fused EnsembleHeads einsum (E, D, C) can shard
+  E over 'model' when E is large; replicated by default (E<=4 here).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def transformer_tp_rules(path_names, leaf) -> P:
+    """PartitionSpec for one param given its path (tuple of str names)."""
+    joined = "/".join(path_names)
+    shape = getattr(leaf, "shape", ())
+    if "in_proj" in joined and path_names[-1] == "kernel":
+        return P(None, "model")
+    if "out_proj" in joined and path_names[-1] == "kernel":
+        return P("model", None)
+    if "c_fc" in joined and path_names[-1] == "kernel":
+        return P(None, "model")
+    if "c_proj" in joined and path_names[-1] == "kernel":
+        return P("model", None)
+    if "in_proj" in joined and path_names[-1] == "bias":
+        return P("model")
+    if "c_fc" in joined and path_names[-1] == "bias":
+        return P("model")
+    del shape
+    return P()
+
+
+def _path_names(path) -> tuple:
+    return tuple(
+        p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+    )
+
+
+def param_shardings(params: Any, mesh: Mesh, rules=transformer_tp_rules):
+    def assign(path, leaf):
+        spec = rules(_path_names(path), leaf)
+        # Drop axes that don't divide the dim (e.g. bias of odd width).
+        dims = getattr(leaf, "shape", ())
+        clean = []
+        for i, ax in enumerate(spec):
+            if ax is None:
+                clean.append(None)
+                continue
+            size = mesh.shape[ax]
+            if i < len(dims) and dims[i] % size == 0 and dims[i] >= size:
+                clean.append(ax)
+            else:
+                clean.append(None)
+        return NamedSharding(mesh, P(*clean))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_state(state, mesh: Mesh, *, tp: bool = False):
+    """Place a TrainState on the mesh: params (and mirrored optimizer
+    moments) replicated or TP-sharded; scalars replicated."""
+    rep = replicated(mesh)
+    if not tp:
+        return jax.device_put(state, rep)
+
+    p_sh = param_shardings(state.params, mesh)
+    new_params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
+
+    def put_like_params(tree):
+        # optimizer moments share the params treedef; anything else replicates
+        try:
+            return jax.tree_util.tree_map(jax.device_put, tree, p_sh)
+        except (ValueError, TypeError):
+            return jax.device_put(tree, rep)
+
+    opt_state = {}
+    for k, v in state.opt_state.items():
+        if k in ("mu", "nu", "momentum"):
+            opt_state[k] = put_like_params(v)
+        else:
+            opt_state[k] = jax.device_put(v, rep)
+    new = state.replace(params=new_params, opt_state=opt_state)
+    if state.batch_stats is not None:
+        new = new.replace(batch_stats=jax.device_put(state.batch_stats, rep))
+    if state.accum_grads is not None:
+        new = new.replace(accum_grads=put_like_params(state.accum_grads))
+    return new
+
+
+def put_batch_fn(mesh: Mesh):
+    """Returns a Trainer put_batch_fn sharding every batch leaf over 'data'."""
+    sh = batch_sharding(mesh)
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), batch
+        )
+
+    return put

@@ -1,0 +1,192 @@
+"""Masked-variant forward parity + robustness sweep layout tests.
+
+The central claim of the TPU re-design: a boolean keep-mask forward is
+numerically identical to the reference's physical token slicing. These tests
+prove it on the actual fusion model.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_uncertainty_tpu.evals.robustness_fmnist import missing_view_sweep
+from multimodal_uncertainty_tpu.evals.robustness_transformer import (
+    build_variant_masks,
+    transformer_robustness_sweep,
+)
+from multimodal_uncertainty_tpu.models import FlavaFusionTransformer
+from multimodal_uncertainty_tpu.ops.data_forming import data_forming_func
+from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+B, LI, LT, D = 4, 9, 7, 48
+
+
+def _model_and_vars(avg_pool=False, cls_token=False, out_dim=2):
+    model = FlavaFusionTransformer(
+        out_dim=out_dim,
+        num_classes=3,
+        image_hidden_size=D,
+        text_hidden_size=D,
+        multimodal_hidden_size=D,
+        multimodal_num_attention_heads=2,
+        multimodal_num_hidden_layers=2,
+        avg_pool=avg_pool,
+        cls_token=cls_token,
+        attn_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(B, LI, D)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(B, LT, D)).astype(np.float32))
+    variables = model.init({"params": jax.random.key(0)}, (img, txt), train=False)
+    return model, variables, img, txt
+
+
+@pytest.mark.parametrize("cls_token", [False, True])
+def test_masked_equals_sliced_subset(cls_token):
+    model, variables, img, txt = _model_and_vars(cls_token=cls_token)
+    rng = np.random.default_rng(1)
+    img_keep = np.sort(rng.permutation(LI)[:5])
+    txt_keep = np.sort(rng.permutation(LT)[:4])
+    im = np.zeros(LI, bool); im[img_keep] = True
+    tm = np.zeros(LT, bool); tm[txt_keep] = True
+
+    masked = model.apply(
+        variables,
+        (img, txt),
+        train=False,
+        img_mask=jnp.broadcast_to(jnp.asarray(im)[None], (B, LI)),
+        txt_mask=jnp.broadcast_to(jnp.asarray(tm)[None], (B, LT)),
+    )
+    sliced = model.apply(
+        variables, (img[:, img_keep], txt[:, txt_keep]), train=False
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(sliced), atol=1e-4)
+
+
+@pytest.mark.parametrize("missing", ["image", "text"])
+def test_masked_equals_missing_modality(missing):
+    model, variables, img, txt = _model_and_vars()
+    if missing == "text":
+        masked = model.apply(
+            variables,
+            (img, txt),
+            train=False,
+            img_mask=jnp.ones((B, LI), bool),
+            txt_mask=jnp.zeros((B, LT), bool),
+        )
+        sliced = model.apply(variables, (img, None), train=False)
+    else:
+        masked = model.apply(
+            variables,
+            (img, txt),
+            train=False,
+            img_mask=jnp.zeros((B, LI), bool),
+            txt_mask=jnp.ones((B, LT), bool),
+        )
+        sliced = model.apply(variables, (None, txt), train=False)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(sliced), atol=1e-4)
+
+
+def test_masked_avg_pool_segment_means():
+    model, variables, img, txt = _model_and_vars(avg_pool=True)
+    rng = np.random.default_rng(2)
+    img_keep = np.sort(rng.permutation(LI)[:6])
+    txt_keep = np.sort(rng.permutation(LT)[:3])
+    im = np.zeros(LI, bool); im[img_keep] = True
+    tm = np.zeros(LT, bool); tm[txt_keep] = True
+    masked = model.apply(
+        variables,
+        (img, txt),
+        train=False,
+        img_mask=jnp.broadcast_to(jnp.asarray(im)[None], (B, LI)),
+        txt_mask=jnp.broadcast_to(jnp.asarray(tm)[None], (B, LT)),
+    )
+    sliced = model.apply(
+        variables, (img[:, img_keep], txt[:, txt_keep]), train=False
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(sliced), atol=1e-4)
+
+
+def test_variant_mask_layout():
+    rng = np.random.default_rng(0)
+    img_masks, txt_masks = build_variant_masks(rng, LI, LT, n_repeats=5)
+    assert img_masks.shape == (13, LI) and txt_masks.shape == (13, LT)
+    assert img_masks[0].all() and txt_masks[0].all()          # full
+    assert img_masks[1].all() and not txt_masks[1].any()      # image-only
+    assert not img_masks[2].any() and txt_masks[2].all()      # text-only
+    # image controls: n_img ~ U(0, l_img), n_txt = min(l_img - n_img, l_txt)
+    # (the reference clips via randperm(l)[:n]); text controls symmetric.
+    for v in range(3, 8):
+        n_img = img_masks[v].sum()
+        assert txt_masks[v].sum() == min(LI - n_img, LT)
+    for v in range(8, 13):
+        n_txt = txt_masks[v].sum()
+        assert img_masks[v].sum() == min(LT - n_txt, LI)
+
+
+def test_transformer_sweep_shapes_and_columns():
+    model, variables, img, txt = _model_and_vars()
+    y = np.arange(B) % 3
+
+    loader = [((np.asarray(img), np.asarray(txt)), y)]
+
+    def apply_fn(variables, x, *, train, rngs, img_mask=None, txt_mask=None):
+        return (
+            model.apply(
+                variables, x, train=train, img_mask=img_mask, txt_mask=txt_mask
+            ),
+            {},
+        )
+
+    preds, labels = transformer_robustness_sweep(
+        apply_fn, variables, loader, n_repeats=2, seed=0
+    )
+    assert preds.shape == (B, 3 + 2 * 2, 2, 3)
+    assert (labels == y).all()
+    # column 1 must equal an explicit image-only forward
+    img_only = np.asarray(model.apply(variables, (img, None), train=False))
+    np.testing.assert_allclose(preds[:, 1], img_only, atol=1e-4)
+    txt_only = np.asarray(model.apply(variables, (None, txt), train=False))
+    np.testing.assert_allclose(preds[:, 2], txt_only, atol=1e-4)
+    full = np.asarray(model.apply(variables, (img, txt), train=False))
+    np.testing.assert_allclose(preds[:, 0], full, atol=1e-4)
+
+
+def test_missing_view_sweep_layouts():
+    # non-weight-sharing: (M_, S, M, C) with view i zeroed
+    setup = setup_fashionmnist(model_type="MultiHead", seed_key=jax.random.key(3))
+    x = np.random.default_rng(4).normal(size=(6, 4, 1, 14, 14)).astype(np.float32)
+    y = np.arange(6) % 10
+    loader = [(x, y)]
+    df = lambda k, xx, yy, phase: data_forming_func(  # noqa: E731
+        k, xx, yy, phase=phase, model_type="MultiHead"
+    )
+    outputs, labels = missing_view_sweep(
+        setup.bundle.apply_fn,
+        {"params": setup.state.params, "batch_stats": setup.state.batch_stats},
+        loader,
+        model_type="MultiHead",
+        data_forming=df,
+    )
+    assert outputs.shape == (4, 6, 4, 10)
+    # variant i must equal a manual forward with view i zeroed
+    x0 = x.copy(); x0[:, 2] = 0.0
+    manual = setup.bundle.apply_fn(
+        {"params": setup.state.params, "batch_stats": setup.state.batch_stats},
+        jnp.asarray(x0), train=False, rngs=None,
+    )[0]
+    np.testing.assert_allclose(outputs[2], np.asarray(manual), atol=1e-5)
+
+    # weight-sharing: (M_, S, m-1, C), labels repeated per kept view
+    setup_ws = setup_fashionmnist(
+        model_type="single-model-weight-sharing", seed_key=jax.random.key(5)
+    )
+    outputs, labels = missing_view_sweep(
+        setup_ws.bundle.apply_fn,
+        {"params": setup_ws.state.params, "batch_stats": setup_ws.state.batch_stats},
+        loader,
+        model_type="single-model-weight-sharing",
+        data_forming=None,
+    )
+    assert outputs.shape == (4, 6, 3, 10)
+    assert labels.shape == (18,)
