@@ -23,3 +23,12 @@ RESULTS_DIR = os.environ.setdefault(
 )
 
 logging.getLogger(__name__).addHandler(logging.NullHandler())
+
+# Optional platform override (e.g. MMU_PLATFORM=cpu for hermetic CI runs).
+# Needed because this environment pins jax_platforms via sitecustomize,
+# which ignores the plain JAX_PLATFORMS env var.
+_platform = os.environ.get("MMU_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)

@@ -1,0 +1,104 @@
+"""MMBT modality-ablation robustness sweep.
+
+Reference ``eval_mmbt_robustness.py`` + the variant forwards in
+``src/mmbt.py:130-234``: per batch, full / image-only / text-only, plus
+``n_repeats`` random token-subset controls per modality
+(``forward_control``: keep CLS + n random positions of the concatenated
+sequence, where n = num_image_embeds+1 for image controls and txt_len for
+text controls). Output (S, 3 + 2*n_repeats, C), column order as in the
+notebooks' contract.
+
+TPU re-design: every variant is a keep-mask over the concatenated sequence;
+variants are evaluated by ONE jitted forward vmapped over the variant axis
+(the ResNet/BERT trunk embeddings are computed once per batch per variant
+group — the mask only enters the encoder attention).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_mmbt_variant_masks(
+    rng: np.random.Generator,
+    txt_len: int,
+    num_image_embeds: int,
+    n_repeats: int,
+) -> np.ndarray:
+    """(V, n_img_tok + txt_len) keep masks; V = 3 + 2*n_repeats."""
+    n_img_tok = num_image_embeds + 2
+    total = n_img_tok + txt_len
+    masks = [
+        np.ones(total, bool),  # full
+        np.concatenate([np.ones(n_img_tok, bool), np.zeros(txt_len, bool)]),
+        np.concatenate(
+            [np.ones(1, bool), np.zeros(n_img_tok - 1, bool), np.ones(txt_len, bool)]
+        ),
+    ]
+    for kind in ("image", "text"):
+        n_keep = num_image_embeds + 1 if kind == "image" else txt_len
+        for _ in range(n_repeats):
+            m = np.zeros(total, bool)
+            m[0] = True  # CLS always kept (reference :198)
+            sel = rng.permutation(total - 1)[:n_keep] + 1
+            m[sel] = True
+            masks.append(m)
+    return np.stack(masks)
+
+
+def mmbt_robustness_sweep(
+    apply_fn,
+    variables,
+    loader,
+    *,
+    num_image_embeds: int = 3,
+    n_repeats: int = 20,
+    seed: int = 42,
+    save_path: Optional[str] = None,
+    checkpoint_name: str = "model",
+    phase: str = "val",
+):
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def fwd_variants(x, keep_masks):
+        b = x[0].shape[0]
+
+        def one(keep):
+            keep_b = jnp.broadcast_to(keep[None], (b, keep.shape[0]))
+            return apply_fn(
+                variables, x, train=False, rngs=None, seq_keep_mask=keep_b
+            )[0]
+
+        out = jax.vmap(one)(keep_masks)  # (V, B, C)
+        return jnp.transpose(out, (1, 0, 2))
+
+    preds, labels = [], []
+    for x, y in loader:
+        txt_len = x[0].shape[1]
+        masks = build_mmbt_variant_masks(rng, txt_len, num_image_embeds, n_repeats)
+        out = fwd_variants(
+            jax.tree_util.tree_map(jnp.asarray, tuple(x)), jnp.asarray(masks)
+        )
+        preds.append(np.asarray(out))
+        labels.append(np.asarray(y).reshape(-1))
+
+    preds = np.concatenate(preds, axis=0)
+    labels = np.concatenate(labels, axis=0)
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(
+            os.path.join(
+                save_path, f"robustness_{checkpoint_name}_predictions_{phase}.npy"
+            ),
+            preds,
+        )
+        np.save(
+            os.path.join(save_path, f"robustness_{checkpoint_name}_labels_{phase}.npy"),
+            labels,
+        )
+    return preds, labels

@@ -1,0 +1,154 @@
+"""BERT encoder (flax.linen) for the MMBT path.
+
+Architecture matches ``pytorch_pretrained_bert.modeling.BertModel``
+(bert-base/large): post-LN self-attention blocks, erf-GELU intermediate,
+LayerNorm eps 1e-12, first-token tanh pooler. Attention dispatches to the
+shared SDPA op (Pallas fused kernel on TPU); the reference's additive
+``(1-m)*-10000`` mask (``src/mmbt.py:108-112``) is numerically identical to
+our boolean key-mask (masked keys get exactly 0 softmax weight in fp32).
+
+Pretrained weights import from a local torch state dict via
+:mod:`models.torch_import` (no network in this environment).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_uncertainty_tpu.models.layers import Linear
+from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_uncertainty_tpu.ops.norms import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+
+    @staticmethod
+    def base() -> "BertConfig":
+        return BertConfig()
+
+    @staticmethod
+    def large() -> "BertConfig":
+        return BertConfig(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+        )
+
+
+class BertLayerNorm(nn.Module):
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return layer_norm(x, weight, bias, self.eps)
+
+
+class BertEmbeddings(nn.Module):
+    """word + position + token_type embeddings -> LN -> dropout."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, *, train: bool,
+                 position_ids: Optional[jax.Array] = None):
+        c = self.config
+        init = nn.initializers.normal(stddev=0.02)
+        word = self.param("word_embeddings", init, (c.vocab_size, c.hidden_size))
+        pos = self.param(
+            "position_embeddings", init, (c.max_position_embeddings, c.hidden_size)
+        )
+        tok = self.param(
+            "token_type_embeddings", init, (c.type_vocab_size, c.hidden_size)
+        )
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        x = word[input_ids] + pos[position_ids] + tok[token_type_ids]
+        x = BertLayerNorm(c.layer_norm_eps, name="LayerNorm")(x)
+        return nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(x)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_mask, *, train: bool):
+        c = self.config
+        b, s, d = x.shape
+        h = c.num_attention_heads
+        dh = d // h
+        q = Linear(d, name="query")(x)
+        k = Linear(d, name="key")(x)
+        v = Linear(d, name="value")(x)
+
+        def heads(t):
+            return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+        out = scaled_dot_product_attention(
+            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
+        )
+        # Documented deviation: attention-PROB dropout (0.1 in torch BERT) is
+        # omitted so attention stays a single fused kernel; the hidden-state
+        # dropouts on the residual paths are kept. Identical at eval.
+        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_mask, *, train: bool):
+        c = self.config
+        attn_out = BertSelfAttention(c, self.attn_impl, name="self")(
+            x, key_mask, train=train
+        )
+        attn_out = Linear(c.hidden_size, name="attn_output_dense")(attn_out)
+        attn_out = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(attn_out)
+        x = BertLayerNorm(c.layer_norm_eps, name="attn_output_LayerNorm")(x + attn_out)
+
+        inter = Linear(c.intermediate_size, name="intermediate_dense")(x)
+        inter = jax.nn.gelu(inter, approximate=False)  # erf GELU (BERT exact)
+        out = Linear(c.hidden_size, name="output_dense")(inter)
+        out = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(out)
+        return BertLayerNorm(c.layer_norm_eps, name="output_LayerNorm")(x + out)
+
+
+class BertEncoder(nn.Module):
+    config: BertConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_mask, *, train: bool):
+        for i in range(self.config.num_hidden_layers):
+            x = BertLayer(self.config, self.attn_impl, name=f"layer_{i}")(
+                x, key_mask, train=train
+            )
+        return x
+
+
+class BertPooler(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.tanh(Linear(self.config.hidden_size, name="dense")(x[:, 0]))

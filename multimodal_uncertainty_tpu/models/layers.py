@@ -156,6 +156,7 @@ class Conv(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             kernel_init=he_normal_fan_out,
+            name="conv",
         )(x)
 
 
@@ -172,6 +173,7 @@ class BatchNorm(nn.Module):
             epsilon=1e-5,
             scale_init=nn.initializers.ones,
             bias_init=nn.initializers.zeros,
+            name="bn",
         )(x)
 
 

@@ -1,0 +1,184 @@
+"""Pretrained-weight import: torch state dicts -> flax param/batch-stat trees.
+
+Supports the two pretrained backbones the reference relies on
+(``src/mmbt.py:19,90``): torchvision ResNet-152 and BERT
+(HF ``BertModel`` naming; the legacy ``pytorch_pretrained_bert`` naming
+differs only by a ``bert.``/``gamma``/``beta`` prefix handled here).
+This environment has no network, so callers pass a locally available
+``.pth``/``.bin`` state dict.
+
+Conventions: torch Linear weights are (out, in) -> transposed to (in, out);
+torch conv weights (out, in, kh, kw) -> HWIO (kh, kw, in, out); BatchNorm
+weight/bias -> scale/bias plus running mean/var -> batch_stats.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def _conv(w) -> np.ndarray:
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _normalize_bert_keys(sd: Dict) -> Dict:
+    """Strip 'bert.' prefixes and map gamma/beta -> weight/bias
+    (pytorch_pretrained_bert legacy naming)."""
+    out = {}
+    for k, v in sd.items():
+        k = k[len("bert."):] if k.startswith("bert.") else k
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_bert_encoder(sd: Dict, num_layers: int) -> Dict:
+    """torch ``encoder.layer.{i}.*`` -> our BertEncoder param tree."""
+    sd = _normalize_bert_keys(sd)
+    layers = {}
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}."
+        layers[f"layer_{i}"] = {
+            "self": {
+                "query": {"kernel": _t(sd[p + "attention.self.query.weight"]),
+                          "bias": np.asarray(sd[p + "attention.self.query.bias"])},
+                "key": {"kernel": _t(sd[p + "attention.self.key.weight"]),
+                        "bias": np.asarray(sd[p + "attention.self.key.bias"])},
+                "value": {"kernel": _t(sd[p + "attention.self.value.weight"]),
+                          "bias": np.asarray(sd[p + "attention.self.value.bias"])},
+            },
+            "attn_output_dense": {
+                "kernel": _t(sd[p + "attention.output.dense.weight"]),
+                "bias": np.asarray(sd[p + "attention.output.dense.bias"]),
+            },
+            "attn_output_LayerNorm": {
+                "weight": np.asarray(sd[p + "attention.output.LayerNorm.weight"]),
+                "bias": np.asarray(sd[p + "attention.output.LayerNorm.bias"]),
+            },
+            "intermediate_dense": {
+                "kernel": _t(sd[p + "intermediate.dense.weight"]),
+                "bias": np.asarray(sd[p + "intermediate.dense.bias"]),
+            },
+            "output_dense": {
+                "kernel": _t(sd[p + "output.dense.weight"]),
+                "bias": np.asarray(sd[p + "output.dense.bias"]),
+            },
+            "output_LayerNorm": {
+                "weight": np.asarray(sd[p + "output.LayerNorm.weight"]),
+                "bias": np.asarray(sd[p + "output.LayerNorm.bias"]),
+            },
+        }
+    return layers
+
+
+def convert_bert_embeddings(sd: Dict) -> Tuple[Dict, Dict]:
+    """Returns (tables, layernorm): embeddings tables + their LayerNorm."""
+    sd = _normalize_bert_keys(sd)
+    tables = {
+        "word_embeddings": np.asarray(sd["embeddings.word_embeddings.weight"]),
+        "position_embeddings": np.asarray(sd["embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": np.asarray(
+            sd["embeddings.token_type_embeddings.weight"]
+        ),
+    }
+    ln = {
+        "weight": np.asarray(sd["embeddings.LayerNorm.weight"]),
+        "bias": np.asarray(sd["embeddings.LayerNorm.bias"]),
+    }
+    return tables, ln
+
+
+def convert_bert_pooler(sd: Dict) -> Dict:
+    sd = _normalize_bert_keys(sd)
+    return {
+        "dense": {
+            "kernel": _t(sd["pooler.dense.weight"]),
+            "bias": np.asarray(sd["pooler.dense.bias"]),
+        }
+    }
+
+
+def convert_resnet_trunk(sd: Dict, layers=(3, 8, 36, 3)) -> Tuple[Dict, Dict]:
+    """torchvision resnet sd -> (params, batch_stats) of ResNetTrunkTV."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_conv(dst_p, dst_s, name, tkey):
+        dst_p[name] = {"conv": {"kernel": _conv(sd[tkey + ".weight"])}}
+
+    def put_bn(dst_p, dst_s, name, tkey):
+        dst_p[name] = {
+            "bn": {
+                "scale": np.asarray(sd[tkey + ".weight"]),
+                "bias": np.asarray(sd[tkey + ".bias"]),
+            }
+        }
+        dst_s[name] = {
+            "bn": {
+                "mean": np.asarray(sd[tkey + ".running_mean"]),
+                "var": np.asarray(sd[tkey + ".running_var"]),
+            }
+        }
+
+    put_conv(params, stats, "conv1", "conv1")
+    put_bn(params, stats, "bn1", "bn1")
+    for s, blocks in enumerate(layers):
+        for j in range(blocks):
+            name = f"layer{s + 1}_{j}"
+            t = f"layer{s + 1}.{j}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for ci in (1, 2, 3):
+                put_conv(bp, bs, f"conv{ci}", f"{t}.conv{ci}")
+                put_bn(bp, bs, f"bn{ci}", f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                put_conv(bp, bs, "downsample_conv", f"{t}.downsample.0")
+                put_bn(bp, bs, "downsample_bn", f"{t}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return params, stats
+
+
+def import_mmbt_pretrained(
+    flax_variables: Dict,
+    bert_sd: Dict = None,
+    resnet_sd: Dict = None,
+    num_layers: int = 12,
+    resnet_layers=(3, 8, 36, 3),
+) -> Dict:
+    """Merge pretrained torch weights into an initialized MMBT variable tree
+    (random init stays where no pretrained source is given, e.g. clf and
+    img_embeddings projection — matching the reference which trains those
+    from scratch)."""
+    import copy
+
+    v = copy.deepcopy(
+        {
+            "params": flax_variables["params"],
+            **(
+                {"batch_stats": flax_variables["batch_stats"]}
+                if "batch_stats" in flax_variables
+                else {}
+            ),
+        }
+    )
+    enc_p = v["params"]["enc"]
+    if bert_sd is not None:
+        tables, ln = convert_bert_embeddings(bert_sd)
+        enc_p["txt_embeddings"].update(tables)
+        # LN params live with the tables and are shared by text & image
+        # embedding paths (reference shares the module, src/mmbt.py:55).
+        enc_p["txt_embeddings"]["ln_weight"] = ln["weight"]
+        enc_p["txt_embeddings"]["ln_bias"] = ln["bias"]
+        enc_p["encoder"].update(convert_bert_encoder(bert_sd, num_layers))
+        enc_p["pooler"].update(convert_bert_pooler(bert_sd))
+    if resnet_sd is not None:
+        rp, rs = convert_resnet_trunk(resnet_sd, resnet_layers)
+        enc_p["img_encoder"]["model"].update(rp)
+        v["batch_stats"]["enc"]["img_encoder"]["model"].update(rs)
+    return v

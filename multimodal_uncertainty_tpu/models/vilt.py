@@ -1,0 +1,193 @@
+"""ViLT-family model: single-stream patch-embedding fusion classifier.
+
+The reference uses HF torch ``ViltForImagesAndTextClassification``
+(``train.py:166-169``; trained/evaled via special cases at
+``src/framework.py:163-168,263-272``). HF ships no flax ViLT, so —
+per the documented plan (SURVEY.md §7) — this is a native TPU
+implementation of the same *family*: text tokens (BERT-style embeddings) and
+32x32 image patches (conv stride 32) share one pre-LN ViT encoder with
+modality-type embeddings; a first-token tanh pooler feeds the HF-style
+2-layer classification head. Like HF's model it computes loss+logits
+internally from ``labels``.
+
+Documented deviations from HF ViLT: fixed patch grid (no pixel_mask-driven
+token resampling/interpolation — pixel_mask instead becomes a boolean patch
+keep-mask), and weights train from scratch or import via a converter rather
+than ``from_pretrained`` (no network in this environment).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_uncertainty_tpu.models.layers import LayerNormFP32, Linear
+from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_uncertainty_tpu.ops.losses import softmax_cross_entropy
+
+
+@dataclasses.dataclass(frozen=True)
+class ViltConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 40
+    type_vocab_size: int = 2
+    image_size: int = 384
+    patch_size: int = 32
+    num_labels: int = 2
+    dropout: float = 0.0
+
+    @staticmethod
+    def b32() -> "ViltConfig":
+        return ViltConfig()
+
+
+@dataclasses.dataclass
+class ViltOutput:
+    loss: Optional[jax.Array]
+    logits: jax.Array
+
+
+class ViTBlock(nn.Module):
+    config: ViltConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_mask, *, train: bool):
+        c = self.config
+        b, s, d = x.shape
+        h = c.num_attention_heads
+        dh = d // h
+        y = LayerNormFP32(name="ln_1")(x)
+        qkv = Linear(3 * d, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+        attn = scaled_dot_product_attention(
+            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+        x = x + Linear(d, name="proj")(attn)
+        y = LayerNormFP32(name="ln_2")(x)
+        y = Linear(c.intermediate_size, name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(c.dropout, deterministic=not train)(y)
+        y = Linear(d, name="fc2")(y)
+        return x + y
+
+
+class ViltModel(nn.Module):
+    config: ViltConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        token_type_ids,
+        pixel_values,
+        pixel_mask=None,
+        *,
+        train: bool = False,
+    ):
+        c = self.config
+        b, lt = input_ids.shape
+        init = nn.initializers.normal(stddev=0.02)
+
+        # ---- text embeddings (BERT-style) ---------------------------------
+        word = self.param("word_embeddings", init, (c.vocab_size, c.hidden_size))
+        pos = self.param(
+            "position_embeddings", init, (c.max_position_embeddings, c.hidden_size)
+        )
+        tok = self.param("token_type_embeddings", init, (2, c.hidden_size))
+        txt = word[input_ids] + pos[jnp.arange(lt)[None]] + tok[token_type_ids * 0]
+
+        # ---- image patch embeddings ---------------------------------------
+        # pixel_values arrives NCHW (HF convention) or NHWC; normalize to NHWC
+        if pixel_values.ndim == 5:  # (B, num_images=1, C, H, W)
+            pixel_values = pixel_values[:, 0]
+        if pixel_values.shape[1] == 3:
+            pixel_values = jnp.transpose(pixel_values, (0, 2, 3, 1))
+        patches = nn.Conv(
+            c.hidden_size,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(pixel_values)
+        gh, gw = patches.shape[1], patches.shape[2]
+        img = patches.reshape(b, gh * gw, c.hidden_size)
+        img_pos = self.param(
+            "image_position_embeddings",
+            init,
+            (gh * gw + 1, c.hidden_size),
+        )
+        img_cls = self.param("image_cls", init, (1, 1, c.hidden_size))
+        img = jnp.concatenate(
+            [jnp.broadcast_to(img_cls, (b, 1, c.hidden_size)), img], axis=1
+        )
+        img = img + img_pos[None]
+        img = img + tok[jnp.ones((), jnp.int32)][None, None]  # modality type 1
+        txt = txt  # modality type 0 is tok[0] via token_type_ids*0 above
+
+        x = jnp.concatenate([txt, img], axis=1)
+        if pixel_mask is not None:
+            if pixel_mask.ndim == 4:  # (B, 1, H, W)
+                pixel_mask = pixel_mask[:, 0]
+            # coarse patch keep-mask: a patch is kept if any pixel is valid
+            pm = pixel_mask.reshape(b, gh, c.patch_size, gw, c.patch_size)
+            patch_keep = pm.max(axis=(2, 4)).reshape(b, gh * gw) > 0
+        else:
+            patch_keep = jnp.ones((b, gh * gw), bool)
+        mask = jnp.concatenate(
+            [
+                attention_mask.astype(bool),
+                jnp.ones((b, 1), bool),  # image CLS
+                patch_keep,
+            ],
+            axis=1,
+        )
+
+        x = LayerNormFP32(name="ln_pre")(x)
+        for i in range(c.num_hidden_layers):
+            x = ViTBlock(c, self.attn_impl, name=f"block_{i}")(x, mask, train=train)
+        x = LayerNormFP32(name="ln_post")(x)
+        pooled = jnp.tanh(Linear(c.hidden_size, name="pooler")(x[:, 0]))
+        return x, pooled
+
+
+class ViltForImagesAndTextClassification(nn.Module):
+    """HF-shaped interface: call with the processor batch dict; returns
+    ViltOutput(loss, logits)."""
+
+    config: ViltConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, batch: dict, *, train: bool = False):
+        c = self.config
+        _, pooled = ViltModel(c, self.attn_impl, name="vilt")(
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch.get("token_type_ids", batch["input_ids"] * 0),
+            batch["pixel_values"],
+            batch.get("pixel_mask"),
+            train=train,
+        )
+        h = Linear(c.hidden_size * 2, name="cls_fc")(pooled)
+        h = LayerNormFP32(name="cls_ln")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        logits = Linear(c.num_labels, name="cls_out")(h)
+        loss = None
+        if "labels" in batch and batch["labels"] is not None:
+            loss = softmax_cross_entropy(logits, batch["labels"].reshape(-1))
+        return ViltOutput(loss=loss, logits=logits)

@@ -220,3 +220,182 @@ def setup_flava(
     )
     state = _init_state(model, optimizer, sample_x, key)
     return Setup(model, bundle, optimizer, state, None, "batch", None)
+
+
+# ---------------------------------------------------------------------------
+# MMBT (reference setup_mmbt, train.py:132-162)
+# ---------------------------------------------------------------------------
+
+
+def setup_mmbt(
+    *,
+    n_classes: int,
+    lr: float = 5e-5,
+    warmup: float = 0.1,
+    total_steps: float = 1000.0,
+    lr_patience: int = 2,
+    lr_factor: float = 0.5,
+    num_image_embeds: int = 3,
+    bert_config=None,
+    resnet_layers=(3, 8, 36, 3),
+    img_embed_pool_type: str = "avg",
+    dropout: float = 0.1,
+    gradient_accumulation_steps: int = 40,
+    vocab_size: Optional[int] = None,
+    image_size: int = 224,
+    sample_txt_len: int = 16,
+    seed_key: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+    pretrained_bert_sd=None,
+    pretrained_resnet_sd=None,
+) -> Setup:
+    from multimodal_uncertainty_tpu.data.images import (
+        FOOD101_MEAN,
+        FOOD101_STD,
+        normalize_on_device,
+    )
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import (
+        MultimodalBertClf,
+        mmbt_grad_mask_fn,
+    )
+
+    cfg = bert_config or BertConfig.base()
+    if vocab_size is not None and vocab_size != cfg.vocab_size:
+        cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
+    key = seed_key if seed_key is not None else jax.random.key(0)
+
+    model = MultimodalBertClf(
+        config=cfg,
+        n_classes=n_classes,
+        num_image_embeds=num_image_embeds,
+        img_embed_pool_type=img_embed_pool_type,
+        dropout=dropout,
+        resnet_layers=tuple(resnet_layers),
+        attn_impl=attn_impl,
+    )
+    optimizer = bert_adam(lr, warmup, float(total_steps))
+    plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)
+
+    base_apply = _flax_apply_fn(model, has_batch_stats=True)
+
+    def apply_fn(variables, x, *, train, rngs, seq_keep_mask=None):
+        txt, mask, segment, img = x
+        if img.dtype == jnp.uint8:
+            img = normalize_on_device(img, FOOD101_MEAN, FOOD101_STD)
+        x = (txt, mask, segment, img)
+        if train:
+            return model.apply(
+                variables, x, train=True, rngs=rngs, mutable=["batch_stats"],
+                seq_keep_mask=seq_keep_mask,
+            )
+        return (
+            model.apply(variables, x, train=False, rngs=rngs,
+                        seq_keep_mask=seq_keep_mask),
+            {},
+        )
+
+    bundle = ModelBundle(
+        apply_fn=apply_fn,
+        loss_fn=model.compute_loss,
+        data_forming=None,
+        metric_fns=(("acc", partial(accuracy, dummy_dim=False)),),
+        grad_mask_fn=mmbt_grad_mask_fn,
+    )
+    b, lt = 2, sample_txt_len
+    sample_x = (
+        jnp.zeros((b, lt), jnp.int32),
+        jnp.ones((b, lt), jnp.int32),
+        jnp.ones((b, lt), jnp.int32),
+        jnp.zeros((b, image_size, image_size, 3), jnp.float32),
+    )
+    state = _init_state(
+        model, optimizer, sample_x, key, accum=gradient_accumulation_steps
+    )
+    if pretrained_bert_sd is not None or pretrained_resnet_sd is not None:
+        from multimodal_uncertainty_tpu.models.torch_import import (
+            import_mmbt_pretrained,
+        )
+
+        variables = import_mmbt_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            bert_sd=pretrained_bert_sd,
+            resnet_sd=pretrained_resnet_sd,
+            num_layers=cfg.num_hidden_layers,
+            resnet_layers=tuple(resnet_layers),
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    return Setup(model, bundle, optimizer, state, plateau, "epoch", "val_acc")
+
+
+# ---------------------------------------------------------------------------
+# ViLT (reference setup_vilt, train.py:164-182)
+# ---------------------------------------------------------------------------
+
+
+def setup_vilt(
+    *,
+    n_classes: int,
+    lr: float = 3e-5,
+    lr_patience: int = 2,
+    lr_factor: float = 0.5,
+    vilt_config=None,
+    image_size: int = 384,
+    sample_txt_len: int = 40,
+    gradient_accumulation_steps: int = 1,
+    seed_key: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+) -> Setup:
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+
+    cfg = vilt_config or dataclasses.replace(
+        ViltConfig.b32(), num_labels=n_classes, image_size=image_size
+    )
+    key = seed_key if seed_key is not None else jax.random.key(0)
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl=attn_impl)
+    optimizer = adamw(constant_schedule(lr))
+    plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)
+
+    def apply_fn(variables, x, *, train, rngs):
+        x = dict(x)
+        pv = x["pixel_values"]
+        if pv.dtype == jnp.uint8:  # normalized on device (mean=std=0.5)
+            x["pixel_values"] = (pv.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        out = model.apply(variables, x, train=train, rngs=rngs)
+        return out.logits, {}
+
+    from multimodal_uncertainty_tpu.ops.losses import plain_cross_entropy
+
+    bundle = ModelBundle(
+        apply_fn=apply_fn,
+        loss_fn=plain_cross_entropy,
+        data_forming=None,
+        metric_fns=(("acc", partial(accuracy, dummy_dim=False)),),
+    )
+    b, lt = 2, sample_txt_len
+    sample_x = {
+        "input_ids": jnp.zeros((b, lt), jnp.int32),
+        "attention_mask": jnp.ones((b, lt), jnp.int32),
+        "token_type_ids": jnp.zeros((b, lt), jnp.int32),
+        "pixel_values": jnp.zeros((b, cfg.image_size, cfg.image_size, 3), jnp.float32),
+        "pixel_mask": jnp.ones((b, cfg.image_size, cfg.image_size), jnp.int32),
+    }
+    variables = model.init({"params": key}, sample_x, train=False)
+    opt_state = optimizer.init(variables["params"])
+    state = TrainState(
+        params=variables["params"],
+        opt_state=opt_state,
+        batch_stats=None,
+        step=jnp.zeros((), jnp.int32),
+        accum_grads=(
+            jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+            if gradient_accumulation_steps > 1
+            else None
+        ),
+    )
+    return Setup(model, bundle, optimizer, state, plateau, "epoch", "val_acc")

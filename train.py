@@ -1,0 +1,274 @@
+#!/usr/bin/env python3
+"""Train multimodal classifiers (flava / mmbt / vilt) — CLI parity with the
+reference ``train.py`` (flags mirror ``train.py:31-117``; behavior per
+SURVEY.md §3.1-3.2). TPU-native internals: jitted train/eval steps, PRNG-keyed
+MIMO data forming, msgpack checkpoints under the reference's file names.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+logger = logging.getLogger(__name__)
+
+
+def get_args(parser: argparse.ArgumentParser) -> None:
+    # general args (reference train.py:31-45)
+    parser.add_argument("--use_gpu", action="store_true",
+                        help="kept for CLI parity; accelerator use is automatic")
+    parser.add_argument("--device", default=0, type=int)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=0.1)
+    parser.add_argument("--n_epochs", type=int, default=100)
+    parser.add_argument("--patience", type=int, default=10)
+
+    parser.add_argument("--dataset", type=str,
+                        choices=["food101", "hateful-meme-dataset"],
+                        default="hateful-meme-dataset")
+    parser.add_argument("--sample_size", type=int, default=None)
+
+    parser.add_argument("--framework", type=str, choices=["vilt", "flava", "mmbt"])
+    parser.add_argument("--model_type", type=str, default="Vanilla",
+                        choices=["Vanilla", "MIMO-shuffle-instance", "MultiHead"])
+
+    # flava mm encoder args
+    parser.add_argument("--multimodal_num_attention_heads", type=int, default=3)
+    parser.add_argument("--multimodal_num_hidden_layers", type=int, default=3)
+    parser.add_argument("--clstoken", action="store_true")
+    parser.add_argument("--dropout", type=float, default=0)
+    parser.add_argument("--avg_pool", action="store_true")
+    parser.add_argument("--wd", type=float, default=0.001)
+
+    # vilt/mmbt scheduler args
+    parser.add_argument("--lr_patience", type=int, default=2)
+    parser.add_argument("--lr_factor", type=float, default=0.5)
+    parser.add_argument("--gradient_accumulation_steps", type=int, default=40)
+
+    # mmbt args
+    parser.add_argument("--bert_model", type=str, default="bert-base-uncased",
+                        choices=["bert-base-uncased", "bert-large-uncased"])
+    parser.add_argument("--drop_img_percent", type=float, default=0.0)
+    parser.add_argument("--embed_sz", type=int, default=300)
+    parser.add_argument("--freeze_img", type=int, default=3)
+    parser.add_argument("--freeze_txt", type=int, default=5)
+    parser.add_argument("--hidden", nargs="*", type=int, default=[])
+    parser.add_argument("--hidden_sz", type=int, default=768)
+    parser.add_argument("--img_embed_pool_type", type=str, default="avg",
+                        choices=["max", "avg"])
+    parser.add_argument("--img_hidden_sz", type=int, default=2048)
+    parser.add_argument("--include_bn", type=int, default=True)
+    parser.add_argument("--max_seq_len", type=int, default=512)
+    parser.add_argument("--n_workers", type=int, default=0)
+    parser.add_argument("--num_image_embeds", type=int, default=3)
+    parser.add_argument("--warmup", type=float, default=0.1)
+
+    # TPU-native extras (not in the reference)
+    parser.add_argument("--vocab_file", type=str, default=None,
+                        help="local BERT vocab.txt for mmbt/vilt")
+    parser.add_argument("--bert_weights", type=str, default=None,
+                        help="local torch state dict for BERT pretrained init")
+    parser.add_argument("--resnet_weights", type=str, default=None,
+                        help="local torch state dict for ResNet-152 init")
+    parser.add_argument("--attn_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_interpret"])
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations (flava path)")
+
+
+def add_conditional_args(args):
+    """Reference ``add_conditional_args`` (train.py:92-117)."""
+    from multimodal_uncertainty_tpu.data.food101 import get_labels_and_frequencies
+
+    args.datapath = os.path.join(os.environ["DATA_DIR"], args.dataset)
+    if args.dataset == "food101":
+        args.labels, _ = get_labels_and_frequencies(
+            os.path.join(args.datapath, "train.jsonl")
+        )
+        args.n_classes = len(args.labels)
+        args.auc = False
+        args.error_cases_remover = False
+        args.name_extractor = lambda x: x.split(".")[0]
+    elif args.dataset == "hateful-meme-dataset":
+        args.labels = list(range(2))
+        args.n_classes = 2
+        args.auc = True
+        args.error_cases_remover = True
+        args.name_extractor = lambda x: x.split("/")[-1].split(".")[0]
+
+    if args.avg_pool:
+        assert args.model_type != "Vanilla", "avg_pool is NOT supported for Vanilla"
+    return args
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Models")
+    get_args(parser)
+    args, remaining = parser.parse_known_args()
+    assert remaining == [], remaining
+    args = add_conditional_args(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.data import flava_encoded, vilt_data
+    from multimodal_uncertainty_tpu.data.food101 import get_food101
+    from multimodal_uncertainty_tpu.training.loop import (
+        construct_default_callbacks,
+        load_history,
+        resume_train_state,
+    )
+    from multimodal_uncertainty_tpu.training.trainer import Trainer
+    from multimodal_uncertainty_tpu.utils.seeding import set_seed
+    from multimodal_uncertainty_tpu import zoo
+
+    root_key = set_seed(args.seed)
+    print(args)
+
+    if args.framework == "mmbt":
+        assert args.dataset == "food101", "MMBT is only supported for food101"
+        train, valid, test, n_classes, vocab = get_food101(
+            vocab_file=args.vocab_file,
+            datapath=args.datapath,
+            batch_size=args.batch_size,
+            drop_img_percent=args.drop_img_percent,
+            max_seq_len=args.max_seq_len,
+            num_image_embeds=args.num_image_embeds,
+            n_workers=args.n_workers,
+            sample_size=args.sample_size,
+            seed=args.seed,
+        )
+        args.n_classes = n_classes
+        total_steps = len(train) / args.gradient_accumulation_steps * args.n_epochs
+
+        def load_sd(path):
+            if path is None:
+                return None
+            import torch
+
+            return {
+                k: v.numpy()
+                for k, v in torch.load(path, map_location="cpu",
+                                       weights_only=True).items()
+            }
+
+        from multimodal_uncertainty_tpu.models.bert import BertConfig
+
+        setup = zoo.setup_mmbt(
+            n_classes=n_classes,
+            lr=args.lr,
+            warmup=args.warmup,
+            total_steps=total_steps,
+            lr_patience=args.lr_patience,
+            lr_factor=args.lr_factor,
+            num_image_embeds=args.num_image_embeds,
+            bert_config=(
+                BertConfig.large()
+                if args.bert_model == "bert-large-uncased"
+                else BertConfig.base()
+            ),
+            img_embed_pool_type=args.img_embed_pool_type,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            vocab_size=vocab.vocab_sz,
+            seed_key=root_key,
+            attn_impl=args.attn_impl,
+            pretrained_bert_sd=load_sd(args.bert_weights),
+            pretrained_resnet_sd=load_sd(args.resnet_weights),
+        )
+    elif args.framework == "vilt":
+        train, valid, test = vilt_data.get_dataset_vilt(args, args.datapath)
+        setup = zoo.setup_vilt(
+            n_classes=args.n_classes,
+            lr=args.lr,
+            lr_patience=args.lr_patience,
+            lr_factor=args.lr_factor,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            seed_key=root_key,
+            attn_impl=args.attn_impl,
+        )
+    elif args.framework == "flava":
+        train, valid, test = flava_encoded.get_dataset_flava(args, args.datapath)
+        setup = zoo.setup_flava(
+            model_type=args.model_type,
+            n_classes=args.n_classes,
+            lr=args.lr,
+            wd=args.wd,
+            n_epochs=args.n_epochs,
+            steps_per_epoch=len(train),
+            multimodal_num_attention_heads=args.multimodal_num_attention_heads,
+            multimodal_num_hidden_layers=args.multimodal_num_hidden_layers,
+            dropout=args.dropout,
+            clstoken=args.clstoken,
+            avg_pool=args.avg_pool,
+            seed_key=root_key,
+            attn_impl=args.attn_impl,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+    else:
+        raise SystemExit("--framework is required (vilt | flava | mmbt)")
+
+    os.makedirs(args.save_path, exist_ok=True)
+    history_csv_path = os.path.join(args.save_path, "history.csv")
+
+    state = setup.state
+    if args.resume:
+        state = resume_train_state(
+            state, os.path.join(args.save_path, "model_last_epoch.pt")
+        )
+        H = load_history(args.save_path)
+        epoch_start = len(H["epoch"]) + 1
+    else:
+        H = {}
+        if os.path.exists(history_csv_path):
+            logger.info("Removing %s", history_csv_path)
+            os.remove(history_csv_path)
+        epoch_start = 1
+
+    callbacks = construct_default_callbacks(
+        H, args.save_path, checkpoint_monitor="val_acc"
+    )
+    for clbk in callbacks:
+        clbk.set_save_path(args.save_path)
+
+    trainer = Trainer(
+        setup.bundle,
+        setup.optimizer,
+        state,
+        rng=jax.random.fold_in(root_key, 1),
+        plateau_scheduler=setup.plateau,
+        gradient_accumulation_steps=(
+            args.gradient_accumulation_steps if args.framework in ("mmbt", "vilt")
+            else 1
+        ),
+        size_fn=setup.size_fn,
+        verbose=True,
+    )
+    trainer.train_loop(
+        train,
+        valid_generator=valid,
+        test_generator=test,
+        steps_per_epoch=len(train),
+        validation_steps=len(valid),
+        test_steps=len(test),
+        epochs=args.n_epochs,
+        callbacks=callbacks,
+        patience=args.patience,
+        epoch_start=epoch_start,
+        scheduler_step_on=setup.scheduler_step_on,
+        scheduler_metric=setup.scheduler_metric,
+        auc=args.auc,
+        freeze_img=args.freeze_img,
+        freeze_txt=args.freeze_txt,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""FashionMNIST MIMO training — CLI parity with the reference
+``train_fashionmnist.py`` (flags at ``:22-42``). Fixes the reference's
+missing scheduler_metric kwarg (SURVEY.md §3.3) and adds --synthetic for
+hermetic runs without the dataset images."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_args(parser):
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=0.1)
+    parser.add_argument("--wd", type=float, default=0.001)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--n_epochs", type=int, default=100)
+    parser.add_argument("--model_type", type=str, default="Vanilla",
+                        choices=["Vanilla", "MIMO-shuffle-instance",
+                                 "MIMO-shuffle-view", "MultiHead",
+                                 "MIMO-shuffle-all", "single-model-weight-sharing"])
+    parser.add_argument("--use_gpu", action="store_true")
+    parser.add_argument("--device", default=0, type=int)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--multimodal_num_attention_heads", type=int, default=3)
+    parser.add_argument("--multimodal_num_hidden_layers", type=int, default=3)
+    parser.add_argument("--transformer", action="store_true")
+    parser.add_argument("--warmup", type=float, default=0.1)
+    parser.add_argument("--dropout", type=float, default=0)
+    # TPU-native extras
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use the synthetic FashionMNIST stand-in")
+    parser.add_argument("--sample_size", type=int, default=None)
+    parser.add_argument("--attn_impl", type=str, default="auto")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Models")
+    get_args(parser)
+    args, remaining = parser.parse_known_args()
+    assert remaining == [], remaining
+
+    import jax
+
+    from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
+    from multimodal_uncertainty_tpu.training.loop import (
+        construct_default_callbacks,
+        load_history,
+        resume_train_state,
+    )
+    from multimodal_uncertainty_tpu.training.trainer import Trainer
+    from multimodal_uncertainty_tpu.utils.seeding import set_seed
+    from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+    root_key = set_seed(args.seed)
+
+    train, valid, _ = get_fmnist(
+        datapath=os.environ.get("DATA_DIR"),
+        batch_size=args.batch_size,
+        download=True,
+        shuffle=True,
+        seed=args.seed,
+        sample_size=args.sample_size,
+        synthetic=args.synthetic,
+    )
+
+    setup = setup_fashionmnist(
+        model_type=args.model_type,
+        transformer=args.transformer,
+        lr=args.lr,
+        wd=args.wd,
+        momentum=args.momentum,
+        warmup=args.warmup,
+        total_steps=len(train) * args.n_epochs,
+        multimodal_num_attention_heads=args.multimodal_num_attention_heads,
+        multimodal_num_hidden_layers=args.multimodal_num_hidden_layers,
+        dropout=args.dropout,
+        seed_key=root_key,
+        attn_impl=args.attn_impl,
+    )
+
+    os.makedirs(args.save_path, exist_ok=True)
+    history_csv_path = os.path.join(args.save_path, "history.csv")
+    state = setup.state
+    if args.resume:
+        state = resume_train_state(
+            state, os.path.join(args.save_path, "model_last_epoch.pt")
+        )
+        H = load_history(args.save_path)
+        epoch_start = len(H["epoch"]) + 1
+    else:
+        H = {}
+        if os.path.exists(history_csv_path):
+            os.remove(history_csv_path)
+        epoch_start = 1
+
+    callbacks = construct_default_callbacks(
+        H, args.save_path, checkpoint_monitor="val_acc"
+    )
+    for clbk in callbacks:
+        clbk.set_save_path(args.save_path)
+
+    trainer = Trainer(
+        setup.bundle,
+        setup.optimizer,
+        state,
+        rng=jax.random.fold_in(root_key, 1),
+        plateau_scheduler=setup.plateau,
+        size_fn=setup.size_fn,
+        verbose=True,
+    )
+    trainer.train_loop(
+        train,
+        valid_generator=valid,
+        test_generator=valid,
+        steps_per_epoch=len(train),
+        validation_steps=len(valid),
+        test_steps=len(valid),
+        # reference quirk preserved: trains n_epochs - 1 epochs (:184)
+        epochs=args.n_epochs - 1,
+        callbacks=callbacks,
+        patience=args.patience,
+        epoch_start=epoch_start,
+        scheduler_step_on="epoch",
+        scheduler_metric=setup.scheduler_metric,
+        auc=False,
+    )
+
+
+if __name__ == "__main__":
+    main()
