@@ -36,6 +36,8 @@ class ModelBundle:
     metric_fns: Sequence = ()
     grad_mask_fn: Optional[Callable] = None
     eval_pred_fn: Optional[Callable] = None  # logits -> per-sample eval preds
+    diversity_kind: str = "none"  # guided/random ensemble-diversity signal
+    diversity_coef: float = 0.0
 
 
 def build_train_step(
@@ -48,7 +50,7 @@ def build_train_step(
     accum = gradient_accumulation_steps
 
     def step(state: TrainState, x, y, key, flags=None):
-        k_form, k_drop = jax.random.split(key)
+        k_form, k_drop, k_div = jax.random.split(key, 3)
         if bundle.data_forming is not None:
             x, y = bundle.data_forming(k_form, x, y, "train")
 
@@ -60,6 +62,13 @@ def build_train_step(
                 variables, x, train=True, rngs={"dropout": k_drop}
             )
             loss = bundle.loss_fn(logits, y, eval=False)
+            if bundle.diversity_kind != "none" and logits.ndim == 3:
+                from multimodal_uncertainty_tpu.ops.diversity import apply_diversity
+
+                loss = apply_diversity(
+                    loss, logits, y, k_div,
+                    kind=bundle.diversity_kind, coef=bundle.diversity_coef,
+                )
             return loss, (logits, mutated)
 
         (loss, (logits, mutated)), grads = jax.value_and_grad(

@@ -95,6 +95,8 @@ def setup_fashionmnist(
     multimodal_num_hidden_layers: int = 3,
     dropout: float = 0.0,
     lr_patience: int = 10,
+    diversity: str = "none",
+    diversity_coef: float = 0.0,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     dtype=jnp.float32,
@@ -144,6 +146,8 @@ def setup_fashionmnist(
             k, x, y, phase=phase, model_type=model_type
         ),
         metric_fns=(("acc", partial(accuracy, dummy_dim=True)),),
+        diversity_kind=diversity,
+        diversity_coef=diversity_coef,
     )
     state = _init_state(model, optimizer, sample_x, key)
     m = 4
@@ -178,6 +182,8 @@ def setup_flava(
     sample_shapes: Tuple[Tuple[int, int], Tuple[int, int]] = ((8, 197), (8, 77)),
     image_hidden_size: int = 768,
     text_hidden_size: int = 768,
+    diversity: str = "none",
+    diversity_coef: float = 0.0,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     dtype=jnp.float32,
@@ -217,6 +223,8 @@ def setup_flava(
             k, x, y, phase=phase, model_type=model_type
         ),
         metric_fns=(("acc", partial(accuracy, dummy_dim=True)),),
+        diversity_kind=diversity,
+        diversity_coef=diversity_coef,
     )
     state = _init_state(model, optimizer, sample_x, key)
     return Setup(model, bundle, optimizer, state, None, "batch", None)

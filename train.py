@@ -82,6 +82,13 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (flava path)")
+    # guided/random diversity training signal (training_guided.gin /
+    # training_random.gin intent — see ops/diversity.py)
+    parser.add_argument("--diversity", type=str, default="none",
+                        choices=["none", "guided", "random"])
+    parser.add_argument("--diversity_coef", type=float, default=0.1)
+    parser.add_argument("--tiny", action="store_true",
+                        help="shrunken mmbt/vilt configs for smoke tests")
 
 
 def add_conditional_args(args):
@@ -162,6 +169,22 @@ def main():
 
         from multimodal_uncertainty_tpu.models.bert import BertConfig
 
+        if args.tiny:
+            import dataclasses as _dc
+
+            bert_cfg = _dc.replace(
+                BertConfig.base(), hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=128,
+            )
+            resnet_layers = (1, 1, 1, 1)
+        else:
+            bert_cfg = (
+                BertConfig.large()
+                if args.bert_model == "bert-large-uncased"
+                else BertConfig.base()
+            )
+            resnet_layers = (3, 8, 36, 3)
+
         setup = zoo.setup_mmbt(
             n_classes=n_classes,
             lr=args.lr,
@@ -170,11 +193,8 @@ def main():
             lr_patience=args.lr_patience,
             lr_factor=args.lr_factor,
             num_image_embeds=args.num_image_embeds,
-            bert_config=(
-                BertConfig.large()
-                if args.bert_model == "bert-large-uncased"
-                else BertConfig.base()
-            ),
+            bert_config=bert_cfg,
+            resnet_layers=resnet_layers,
             img_embed_pool_type=args.img_embed_pool_type,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             vocab_size=vocab.vocab_sz,
@@ -185,11 +205,23 @@ def main():
         )
     elif args.framework == "vilt":
         train, valid, test = vilt_data.get_dataset_vilt(args, args.datapath)
+        vilt_cfg = None
+        if args.tiny:
+            import dataclasses as _dc
+
+            from multimodal_uncertainty_tpu.models.vilt import ViltConfig
+
+            vilt_cfg = _dc.replace(
+                ViltConfig.b32(), hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=128,
+                num_labels=args.n_classes, image_size=384,
+            )
         setup = zoo.setup_vilt(
             n_classes=args.n_classes,
             lr=args.lr,
             lr_patience=args.lr_patience,
             lr_factor=args.lr_factor,
+            vilt_config=vilt_cfg,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             seed_key=root_key,
             attn_impl=args.attn_impl,
@@ -208,6 +240,8 @@ def main():
             dropout=args.dropout,
             clstoken=args.clstoken,
             avg_pool=args.avg_pool,
+            diversity=args.diversity,
+            diversity_coef=args.diversity_coef,
             seed_key=root_key,
             attn_impl=args.attn_impl,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

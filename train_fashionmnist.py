@@ -39,6 +39,9 @@ def get_args(parser):
                         help="use the synthetic FashionMNIST stand-in")
     parser.add_argument("--sample_size", type=int, default=None)
     parser.add_argument("--attn_impl", type=str, default="auto")
+    parser.add_argument("--diversity", type=str, default="none",
+                        choices=["none", "guided", "random"])
+    parser.add_argument("--diversity_coef", type=float, default=0.1)
 
 
 def main():
@@ -82,6 +85,8 @@ def main():
         multimodal_num_attention_heads=args.multimodal_num_attention_heads,
         multimodal_num_hidden_layers=args.multimodal_num_hidden_layers,
         dropout=args.dropout,
+        diversity=args.diversity,
+        diversity_coef=args.diversity_coef,
         seed_key=root_key,
         attn_impl=args.attn_impl,
     )
