@@ -62,12 +62,15 @@ def bench_tpu() -> float:
     state = setup.state
     for i in range(WARMUP_STEPS):
         state, logs = train_step(state, (img, txt), y, jax.random.key(i), None)
-    jax.block_until_ready(logs["loss"])
+    # NOTE: sync via scalar fetch — on the axon-tunneled TPU backend,
+    # block_until_ready does not actually block, so fetching a scalar that
+    # depends on the whole chain is the only honest barrier.
+    float(logs["loss"])
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         state, logs = train_step(state, (img, txt), y, jax.random.key(100 + i), None)
-    jax.block_until_ready(logs["loss"])
+    float(logs["loss"])  # barrier: depends on all MEASURE_STEPS steps
     dt = time.perf_counter() - t0
     return B * MEASURE_STEPS / dt
 

@@ -77,17 +77,26 @@ class JsonlDataset:
         return len(self.data)
 
     def __getitem__(self, index):
-        sentence = (
-            self.text_start_token
-            + self.tokenizer(self.data[index]["text"])[: self.max_seq_len - 1]
-        )
-        token_ids = np.asarray(
-            [
-                self.vocab.stoi.get(w, self.vocab.stoi["[UNK]"])
-                for w in sentence
-            ],
-            np.int64,
-        )
+        if hasattr(self.tokenizer, "encode"):
+            # native fast path: ids directly (identical output, C++ speed)
+            sep_id = self.vocab.stoi["[SEP]"]
+            body = self.tokenizer.encode(
+                self.data[index]["text"], max_ids=self.max_seq_len - 1
+            )
+            token_ids = np.asarray([sep_id] + body, np.int64)
+            sentence = token_ids  # length reference below
+        else:
+            sentence = (
+                self.text_start_token
+                + self.tokenizer(self.data[index]["text"])[: self.max_seq_len - 1]
+            )
+            token_ids = np.asarray(
+                [
+                    self.vocab.stoi.get(w, self.vocab.stoi["[UNK]"])
+                    for w in sentence
+                ],
+                np.int64,
+            )
         segment = np.zeros(len(sentence), np.int64)
         label = self.labels.index(self.data[index]["label"])
 
@@ -149,8 +158,9 @@ def get_food101(
     datapath = datapath or os.environ["DATA_DIR"]
     if vocab_file is None:
         vocab_file = os.path.join(datapath, "vocab.txt")
-    bert_tok = BertTokenizer(vocab_file, do_lower_case=True)
-    tokenizer = bert_tok.tokenize
+    from multimodal_uncertainty_tpu.data.native import NativeTokenizer
+
+    tokenizer = NativeTokenizer(vocab_file, do_lower_case=True)
     vocab = get_vocab(vocab_file)
 
     labels, _ = get_labels_and_frequencies(os.path.join(datapath, "train.jsonl"))

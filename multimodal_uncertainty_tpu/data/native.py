@@ -1,0 +1,155 @@
+"""ctypes loader for the native (C++) data-path library.
+
+Builds ``csrc/libmmu_native.so`` on first use (g++, no pybind11 in this
+environment) and exposes :class:`NativeTokenizer` — an ASCII-fast-path
+WordPiece tokenizer that produces *identical* output to the Python
+implementation (non-ASCII texts are routed to Python; verified by
+``tests/test_native_tokenizer.py``). Falls back to pure Python transparently
+if no C++ toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "build", "libmmu_native.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC], check=True, capture_output=True
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            logger.warning("native build failed (%s); using Python tokenizer", e)
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:  # pragma: no cover
+        logger.warning("native load failed (%s)", e)
+        _build_failed = True
+        return None
+    lib.mmu_tokenizer_create.restype = ctypes.c_void_p
+    lib.mmu_tokenizer_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.mmu_tokenizer_destroy.argtypes = [ctypes.c_void_p]
+    lib.mmu_tokenize.restype = ctypes.c_int
+    lib.mmu_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.mmu_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+class NativeTokenizer:
+    """WordPiece tokenizer: C++ for ASCII texts, Python otherwise."""
+
+    def __init__(self, vocab_file: str, do_lower_case: bool = True):
+        from multimodal_uncertainty_tpu.data.tokenization import BertTokenizer
+
+        self.py = BertTokenizer(vocab_file, do_lower_case)
+        self.vocab = self.py.vocab
+        self.ids_to_tokens = self.py.ids_to_tokens
+        self._handle = None
+        lib = _load_lib()
+        if lib is not None:
+            handle = lib.mmu_tokenizer_create(
+                vocab_file.encode(), int(do_lower_case)
+            )
+            if handle:
+                self._handle = handle
+                self._lib = lib
+
+    def __del__(self):  # pragma: no cover
+        if getattr(self, "_handle", None):
+            try:
+                self._lib.mmu_tokenizer_destroy(self._handle)
+            except Exception:
+                pass
+
+    def encode(self, text: str, max_ids: int = 512) -> List[int]:
+        """text -> wordpiece ids (no special tokens)."""
+        if self._handle is not None and text.isascii():
+            out = (ctypes.c_int * max_ids)()
+            n = self._lib.mmu_tokenize(
+                self._handle, text.encode(), out, max_ids
+            )
+            return list(out[:n])
+        toks = self.py.tokenize(text)[:max_ids]
+        return self.py.convert_tokens_to_ids(toks)
+
+    def tokenize(self, text: str) -> List[str]:
+        """Wordpiece strings (Python-path semantics; used for parity)."""
+        return [self.ids_to_tokens[i] for i in self.encode(text)]
+
+    def encode_batch(
+        self, texts: List[str], max_len: int, add_cls_sep: bool = True
+    ):
+        """Batch encode to padded (N, max_len) int64 ids + mask arrays."""
+        n = len(texts)
+        ids = np.zeros((n, max_len), np.int64)
+        mask = np.zeros((n, max_len), np.int64)
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        other_idx = [i for i in range(n) if i not in set(ascii_idx)]
+
+        if self._handle is not None and ascii_idx:
+            blob = b"\0".join(texts[i].encode() for i in ascii_idx) + b"\0"
+            offsets = np.zeros(len(ascii_idx), np.int64)
+            pos = 0
+            for j, i in enumerate(ascii_idx):
+                offsets[j] = pos
+                pos += len(texts[i].encode()) + 1
+            sub_ids = np.zeros((len(ascii_idx), max_len), np.int64)
+            sub_mask = np.zeros((len(ascii_idx), max_len), np.int64)
+            self._lib.mmu_encode_batch(
+                self._handle,
+                blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                len(ascii_idx),
+                max_len,
+                int(add_cls_sep),
+                sub_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                sub_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            )
+            ids[ascii_idx] = sub_ids
+            mask[ascii_idx] = sub_mask
+        else:
+            other_idx = list(range(n))
+
+        cls_id = self.vocab.get("[CLS]", 0)
+        sep_id = self.vocab.get("[SEP]", 0)
+        for i in other_idx:
+            body = self.encode(texts[i], max_len - 2 if add_cls_sep else max_len)
+            row = ([cls_id] + body + [sep_id]) if add_cls_sep else body
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask

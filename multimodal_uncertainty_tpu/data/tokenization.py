@@ -45,6 +45,7 @@ class BasicTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
+        text = self._tokenize_chinese_chars(text)
         tokens = text.split()
         out = []
         for tok in tokens:
@@ -53,6 +54,28 @@ class BasicTokenizer:
                 tok = self._strip_accents(tok)
             out.extend(self._split_punct(tok))
         return " ".join(out).split()
+
+    @staticmethod
+    def _is_chinese_char(cp: int) -> bool:
+        return (
+            (0x4E00 <= cp <= 0x9FFF)
+            or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF)
+            or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F)
+            or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF)
+            or (0x2F800 <= cp <= 0x2FA1F)
+        )
+
+    def _tokenize_chinese_chars(self, text: str) -> str:
+        out = []
+        for ch in text:
+            if self._is_chinese_char(ord(ch)):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
 
     @staticmethod
     def _clean(text):

@@ -24,7 +24,9 @@ class VILTDataset(BaseDataset):
                  **kwargs):
         super().__init__(prefix_dir, phase, label_dict, error_cases_remover)
         self.data_path = prefix_dir
-        self.tokenizer = BertTokenizer(vocab_file)
+        from multimodal_uncertainty_tpu.data.native import NativeTokenizer
+
+        self.tokenizer = NativeTokenizer(vocab_file)
         self.max_length = max_length
         self.image_size = image_size
         self.cls_id = self.tokenizer.vocab.get("[CLS]", 101)
@@ -37,8 +39,11 @@ class VILTDataset(BaseDataset):
         image = Image.open(os.path.join(self.data_path, row["img"])).convert("RGB")
         pixels = resize_center_crop(image, self.image_size, self.image_size)
 
-        toks = self.tokenizer.tokenize(row["text"])[: self.max_length - 2]
-        ids = [self.cls_id] + self.tokenizer.convert_tokens_to_ids(toks) + [self.sep_id]
+        ids = (
+            [self.cls_id]
+            + self.tokenizer.encode(row["text"], max_ids=self.max_length - 2)
+            + [self.sep_id]
+        )
         input_ids = np.zeros(self.max_length, np.int64)
         attention = np.zeros(self.max_length, np.int64)
         input_ids[: len(ids)] = ids

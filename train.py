@@ -89,6 +89,11 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--diversity_coef", type=float, default=0.1)
     parser.add_argument("--tiny", action="store_true",
                         help="shrunken mmbt/vilt configs for smoke tests")
+    # multi-chip mesh (TPU-native scaling; reference is single-device)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="devices on the 'data' mesh axis")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="devices on the 'model' (tensor-parallel) axis")
 
 
 def add_conditional_args(args):
@@ -266,6 +271,20 @@ def main():
             os.remove(history_csv_path)
         epoch_start = 1
 
+    put_batch = None
+    n_mesh = args.data_parallel * args.model_parallel
+    if n_mesh > 1:
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+        from multimodal_uncertainty_tpu.parallel.sharding import (
+            put_batch_fn,
+            shard_state,
+        )
+
+        mesh = make_mesh(n_mesh, model_parallel=args.model_parallel)
+        state = shard_state(state, mesh, tp=args.model_parallel > 1)
+        put_batch = put_batch_fn(mesh)
+        logger.info("mesh: %s", dict(mesh.shape))
+
     callbacks = construct_default_callbacks(
         H, args.save_path, checkpoint_monitor="val_acc"
     )
@@ -284,6 +303,7 @@ def main():
         ),
         size_fn=setup.size_fn,
         verbose=True,
+        put_batch_fn=put_batch,
     )
     trainer.train_loop(
         train,
