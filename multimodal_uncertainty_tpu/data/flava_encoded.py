@@ -85,12 +85,22 @@ class FlavaEncodedDataset(BaseDataset):
         return img, txt, label
 
 
-def collate_fn_flava(batch) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def collate_fn_flava(
+    batch, pad_multiple: int = 32
+) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:
     """Zero-pad variable-length embedding sequences
-    (reference ``src/dataset.py:216-226``)."""
+    (reference ``src/dataset.py:216-226``).
+
+    TPU addition: pad lengths round up to ``pad_multiple`` so the number of
+    distinct compiled shapes is bounded (per-batch exact-max padding would
+    trigger an XLA recompile for nearly every batch)."""
     imgs, txts, labels = zip(*batch)
-    li = max(i.shape[0] for i in imgs)
-    lt = max(t.shape[0] for t in txts)
+    li = _round_up(max(i.shape[0] for i in imgs), pad_multiple)
+    lt = _round_up(max(t.shape[0] for t in txts), pad_multiple)
     d = imgs[0].shape[-1]
     img_out = np.zeros((len(batch), li, d), np.float32)
     txt_out = np.zeros((len(batch), lt, d), np.float32)

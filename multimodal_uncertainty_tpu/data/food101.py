@@ -125,11 +125,13 @@ def _pil_from_array(arr):
     return Image.fromarray(arr)
 
 
-def collate_fn(batch):
+def collate_fn(batch, pad_multiple: int = 32):
     """Left-aligned padded text + mask, stacked uint8 images
-    (reference ``src/dataset.py:420-438``)."""
+    (reference ``src/dataset.py:420-438``). Pad length rounds up to
+    ``pad_multiple`` to bound the number of compiled shapes."""
     lens = [len(row[0]) for row in batch]
-    bsz, max_seq_len = len(batch), max(lens)
+    bsz = len(batch)
+    max_seq_len = ((max(lens) + pad_multiple - 1) // pad_multiple) * pad_multiple
     text = np.zeros((bsz, max_seq_len), np.int64)
     segment = np.zeros((bsz, max_seq_len), np.int64)
     mask = np.zeros((bsz, max_seq_len), np.int64)

@@ -161,6 +161,8 @@ class Trainer:
         freeze_img: int = 0,
         freeze_txt: int = 0,
         scheduler_metric: Optional[str] = None,
+        profile_dir: Optional[str] = None,
+        profile_epoch: int = 2,
         **kwargs: Any,
     ):
         callback_list = CallbackList(list(callbacks))
@@ -182,6 +184,11 @@ class Trainer:
 
             callback_list.on_epoch_begin(epoch, {})
             epoch_begin_time = timeit.default_timer()
+
+            # Optional XLA trace of one (post-compile) epoch.
+            profiling = profile_dir is not None and epoch == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
 
             losses, metric_vals, sizes = [], [], []
             n_steps = steps_per_epoch if steps_per_epoch is not None else len(
@@ -212,6 +219,11 @@ class Trainer:
                         **{m: logs[m] for m in self.metrics_names},
                     },
                 )
+
+            if profiling:
+                # sync before stopping the trace so the epoch's compute is in it
+                jax.device_get(losses[-1])
+                jax.profiler.stop_trace()
 
             sizes_np = np.asarray(sizes, np.float64)
             losses_np = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)

@@ -1,0 +1,135 @@
+"""Data-pipeline tests: quarter crop, jsonl/food101 semantics, packed shards."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_uncertainty_tpu.data.flava_encoded import (
+    PackedFlavaDataset,
+    collate_fn_flava,
+)
+from multimodal_uncertainty_tpu.data.fmnist import quarter_crop
+from multimodal_uncertainty_tpu.data.food101 import (
+    JsonlDataset,
+    collate_fn,
+    get_labels_and_frequencies,
+)
+from multimodal_uncertainty_tpu.data.loaders import ArrayLoader, MapLoader
+from multimodal_uncertainty_tpu.data.tokenization import Vocab
+
+
+def test_quarter_crop_layout():
+    img = np.zeros((1, 28, 28), np.uint8)
+    img[0, :14, :14] = 10   # UL
+    img[0, :14, 14:] = 20   # UR
+    img[0, 14:, :14] = 30   # LL
+    img[0, 14:, 14:] = 40   # LR
+    out = quarter_crop(img)
+    assert out.shape == (1, 4, 1, 14, 14)
+    # reference order: 0 UL, 1 UR, 2 LL, 3 LR (src/dataset.py:124-127)
+    np.testing.assert_allclose(out[0, 0, 0], 10 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 1, 0], 20 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2, 0], 30 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 3, 0], 40 / 255.0, atol=1e-6)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_jsonl_dataset_semantics(tmp_path):
+    rows = [
+        {"img": None, "text": "the quick fox", "label": "b"},
+        {"img": None, "text": "lazy dog", "label": "a"},
+    ]
+    _write_jsonl(tmp_path / "train.jsonl", rows)
+    vocab = Vocab()
+    vocab.add(["the", "quick", "fox", "lazy", "dog"])
+
+    def tok(text):
+        return text.split()
+
+    ds = JsonlDataset(
+        str(tmp_path / "train.jsonl"), tok, vocab, 2,
+        drop_img_percent=0.0, max_seq_len=16, num_image_embeds=3,
+        labels=["a", "b"], image_size=64,
+    )
+    ids, segment, image, label = ds[0]
+    # first [SEP] dropped (belongs to image segment), segment becomes 1s
+    assert (segment == 1).all() and len(ids) == 3
+    assert ids[0] == vocab.stoi["the"]
+    assert label == 1
+    # missing image -> gray 128 constant substitute
+    assert image.shape == (64, 64, 3)
+    assert (image == 128).all()
+
+
+def test_collate_left_aligned_mask_and_pad_multiple():
+    batch = [
+        (np.asarray([5, 6, 7]), np.asarray([1, 1, 1]),
+         np.zeros((4, 4, 3), np.uint8), 0),
+        (np.asarray([8]), np.asarray([1]),
+         np.zeros((4, 4, 3), np.uint8), 1),
+    ]
+    (text, segment, mask, imgs), y = collate_fn(batch, pad_multiple=8)
+    assert text.shape == (2, 8)  # rounded up to the pad multiple
+    assert mask[0].sum() == 3 and mask[1].sum() == 1
+    assert text[1, 0] == 8 and (text[1, 1:] == 0).all()
+    assert (y == [0, 1]).all()
+
+
+def test_labels_and_frequencies(tmp_path):
+    rows = [{"label": "x"}, {"label": "y"}, {"label": "x"}]
+    _write_jsonl(tmp_path / "t.jsonl", rows)
+    labels, freqs = get_labels_and_frequencies(str(tmp_path / "t.jsonl"))
+    assert labels == ["x", "y"]
+    assert freqs["x"] == 2
+
+
+def test_packed_shards_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img_parts = [rng.normal(size=(int(n), 8)).astype(np.float32) for n in (3, 5)]
+    txt_parts = [rng.normal(size=(int(n), 8)).astype(np.float32) for n in (2, 4)]
+    np.save(tmp_path / "dev_img.npy", np.concatenate(img_parts))
+    np.save(tmp_path / "dev_txt.npy", np.concatenate(txt_parts))
+    np.save(tmp_path / "dev_img_offsets.npy", np.asarray([0, 3, 8]))
+    np.save(tmp_path / "dev_txt_offsets.npy", np.asarray([0, 2, 6]))
+    np.save(tmp_path / "dev_labels.npy", np.asarray([1, 0]))
+    ds = PackedFlavaDataset(str(tmp_path), "dev")
+    assert len(ds) == 2
+    img, txt, label = ds[1]
+    np.testing.assert_array_equal(np.asarray(img), img_parts[1])
+    np.testing.assert_array_equal(np.asarray(txt), txt_parts[1])
+    assert label == 0
+
+    (bi, bt), by = collate_fn_flava([ds[0], ds[1]], pad_multiple=4)
+    assert bi.shape == (2, 8, 8)  # max 5 -> round to 8
+    assert bt.shape == (2, 4, 8)
+    np.testing.assert_array_equal(bi[0, 3:], 0)  # zero padding
+
+
+def test_array_loader_reshuffles_per_epoch():
+    x = np.arange(10)
+    loader = ArrayLoader((x, x), batch_size=10, shuffle=True, seed=0)
+    e1 = next(iter(loader))[0].copy()
+    e2 = next(iter(loader))[0].copy()
+    assert not (e1 == e2).all()
+    assert sorted(e1) == list(range(10))
+
+
+def test_map_loader_prefetch_and_len():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return i
+
+    loader = MapLoader(DS(), 3, collate_fn=lambda items: np.asarray(items),
+                       num_workers=2, prefetch=2)
+    batches = list(loader)
+    assert len(loader) == 4 and len(batches) == 4
+    assert sorted(np.concatenate(batches).tolist()) == list(range(10))
