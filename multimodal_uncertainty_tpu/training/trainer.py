@@ -91,6 +91,7 @@ class Trainer:
         *,
         steps: Optional[int] = None,
         auc: bool = False,
+        ece: bool = False,
     ) -> dict:
         if steps is None:
             steps = len(generator)
@@ -136,10 +137,20 @@ class Trainer:
             info.update(
                 {f"{phase}_{m}": float(v) for m, v in zip(self.metrics_names, weighted)}
             )
-        if auc:
+        if auc or ece:
             preds = np.concatenate(jax.device_get(preds_all), axis=0)
             labels = np.concatenate(jax.device_get(labels_all), axis=0).reshape(-1)
-            info[f"{phase}_auc"] = binary_auroc(labels, preds[:, 1])
+            if auc:
+                info[f"{phase}_auc"] = binary_auroc(labels, preds[:, 1])
+            if ece:
+                from multimodal_uncertainty_tpu.ops.metrics import (
+                    expected_calibration_error,
+                    softmax_np,
+                )
+
+                info[f"{phase}_ece"] = expected_calibration_error(
+                    softmax_np(preds), labels
+                )
         return info
 
     # ----------------------------------------------------------------------
@@ -158,6 +169,7 @@ class Trainer:
         epoch_start: int = 1,
         scheduler_step_on: str = "epoch",
         auc: bool = False,
+        ece: bool = False,
         freeze_img: int = 0,
         freeze_txt: int = 0,
         scheduler_metric: Optional[str] = None,
@@ -238,12 +250,14 @@ class Trainer:
                 stop_training = True
 
             val_dict = (
-                self.eval_loop(valid_generator, "val", steps=validation_steps, auc=auc)
+                self.eval_loop(valid_generator, "val", steps=validation_steps,
+                               auc=auc, ece=ece)
                 if valid_generator is not None
                 else {}
             )
             test_dict = (
-                self.eval_loop(test_generator, "test", steps=test_steps, auc=auc)
+                self.eval_loop(test_generator, "test", steps=test_steps,
+                               auc=auc, ece=ece)
                 if test_generator is not None
                 else {}
             )

@@ -89,6 +89,8 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--diversity_coef", type=float, default=0.1)
     parser.add_argument("--tiny", action="store_true",
                         help="shrunken mmbt/vilt configs for smoke tests")
+    parser.add_argument("--ece", action="store_true",
+                        help="log expected calibration error per epoch")
     # multi-chip mesh (TPU-native scaling; reference is single-device)
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="devices on the 'data' mesh axis")
@@ -319,6 +321,7 @@ def main():
         scheduler_step_on=setup.scheduler_step_on,
         scheduler_metric=setup.scheduler_metric,
         auc=args.auc,
+        ece=args.ece,
         freeze_img=args.freeze_img,
         freeze_txt=args.freeze_txt,
     )
