@@ -9,9 +9,9 @@ text controls). Output (S, 3 + 2*n_repeats, C), column order as in the
 notebooks' contract.
 
 TPU re-design: every variant is a keep-mask over the concatenated sequence;
-variants are evaluated by ONE jitted forward vmapped over the variant axis
-(the ResNet/BERT trunk embeddings are computed once per batch per variant
-group — the mask only enters the encoder attention).
+variants are evaluated by ONE jitted program — a lax.map over chunk-vmapped
+variant groups (chunking bounds live activation memory; see
+robustness_transformer.py).
 """
 from __future__ import annotations
 
@@ -61,20 +61,34 @@ def mmbt_robustness_sweep(
     save_path: Optional[str] = None,
     checkpoint_name: str = "model",
     phase: str = "val",
+    variant_chunk: int = 8,
 ):
     rng = np.random.default_rng(seed)
 
     @jax.jit
     def fwd_variants(x, keep_masks):
         b = x[0].shape[0]
+        v = keep_masks.shape[0]
+        chunk = min(variant_chunk, v)
+        pad = (-v) % chunk
+        keep_masks = jnp.concatenate(
+            [keep_masks, jnp.ones((pad, keep_masks.shape[1]), bool)]
+        )
 
-        def one(keep):
-            keep_b = jnp.broadcast_to(keep[None], (b, keep.shape[0]))
-            return apply_fn(
-                variables, x, train=False, rngs=None, seq_keep_mask=keep_b
-            )[0]
+        def one(keeps):
+            keep_b = jnp.broadcast_to(
+                keeps[:, None, :], (chunk, b, keeps.shape[1])
+            )
+            return jax.vmap(
+                lambda k: apply_fn(
+                    variables, x, train=False, rngs=None, seq_keep_mask=k
+                )[0]
+            )(keep_b)
 
-        out = jax.vmap(one)(keep_masks)  # (V, B, C)
+        out = jax.lax.map(
+            one, keep_masks.reshape(-1, chunk, keep_masks.shape[1])
+        )  # (groups, chunk, B, C)
+        out = out.reshape(-1, *out.shape[2:])[:v]
         return jnp.transpose(out, (1, 0, 2))
 
     preds, labels = [], []

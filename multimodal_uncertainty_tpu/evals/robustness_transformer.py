@@ -9,9 +9,13 @@ the notebooks): column 0 = full, 1 = image-only, 2 = text-only,
 3..3+R = image-controls, 3+R..3+2R = text-controls; tensor (S, V, E, C).
 
 TPU re-design: every variant is a fixed-shape boolean keep-mask pair; ONE
-vmapped forward over the variant axis evaluates all V variants of a batch in
-a single XLA program (the masked forward is numerically identical to
-physically dropping tokens — see models/fusion.py docstring).
+jitted program evaluates all V variants of a batch — a lax.map over
+chunk-vmapped variant groups (chunking bounds live activation memory; a full
+V-wide vmap spills to HBM and measures slower, see BASELINE.md). The masked
+forward is numerically identical to physically dropping tokens — see
+models/fusion.py. Crucially the fixed shape means ONE compilation, where the
+reference's physical slicing yields a different shape (and recompile) per
+variant.
 
 Documented reference-bug fix: ``:119`` builds the text control slice from
 ``img``; here text controls correctly mask the text stream.
@@ -69,6 +73,7 @@ def transformer_robustness_sweep(
     save_path: Optional[str] = None,
     checkpoint_name: str = "model",
     phase: str = "val",
+    variant_chunk: int = 16,
 ):
     """Returns (preds (S, V, E, C), labels (S,)); optionally saves
     ``robustness_{ckpt}_predictions_{phase}.npy`` (+labels)."""
@@ -77,20 +82,35 @@ def transformer_robustness_sweep(
     @jax.jit
     def fwd_variants(img, txt, img_masks, txt_masks):
         b = img.shape[0]
+        v = img_masks.shape[0]
+        chunk = min(variant_chunk, v)
+        pad = (-v) % chunk
+        img_masks = jnp.concatenate(
+            [img_masks, jnp.ones((pad, img_masks.shape[1]), bool)]
+        )
+        txt_masks = jnp.concatenate(
+            [txt_masks, jnp.ones((pad, txt_masks.shape[1]), bool)]
+        )
 
-        def one(im, tm):
-            im_b = jnp.broadcast_to(im[None], (b, im.shape[0]))
-            tm_b = jnp.broadcast_to(tm[None], (b, tm.shape[0]))
-            return apply_fn(
-                variables,
-                (img, txt),
-                train=False,
-                rngs=None,
-                img_mask=im_b,
-                txt_mask=tm_b,
-            )[0]
+        def one(masks):
+            im, tm = masks  # (chunk, L)
+            im_b = jnp.broadcast_to(im[:, None, :], (chunk, b, im.shape[1]))
+            tm_b = jnp.broadcast_to(tm[:, None, :], (chunk, b, tm.shape[1]))
+            return jax.vmap(
+                lambda a, t: apply_fn(
+                    variables, (img, txt), train=False, rngs=None,
+                    img_mask=a, txt_mask=t,
+                )[0]
+            )(im_b, tm_b)
 
-        out = jax.vmap(one)(img_masks, txt_masks)  # (V, B, E, C)
+        out = jax.lax.map(
+            one,
+            (
+                img_masks.reshape(-1, chunk, img_masks.shape[1]),
+                txt_masks.reshape(-1, chunk, txt_masks.shape[1]),
+            ),
+        )  # (groups, chunk, B, E, C)
+        out = out.reshape(-1, *out.shape[2:])[:v]  # (V, B, E, C)
         return jnp.transpose(out, (1, 0, 2, 3))  # (B, V, E, C)
 
     preds, labels = [], []
