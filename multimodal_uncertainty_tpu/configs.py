@@ -8,7 +8,7 @@ this framework's CLI/zoo API.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass

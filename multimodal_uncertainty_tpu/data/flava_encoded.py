@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Tuple
 
 import numpy as np
 
-from multimodal_uncertainty_tpu.data.loaders import MapLoader
 
 
 def read_jsonl(path: str) -> List[dict]:

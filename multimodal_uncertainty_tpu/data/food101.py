@@ -19,14 +19,9 @@ from typing import List, Optional
 
 import numpy as np
 
-from multimodal_uncertainty_tpu.data.images import (
-    FOOD101_MEAN,
-    FOOD101_STD,
-    gray_image,
-    resize_center_crop,
-)
+from multimodal_uncertainty_tpu.data.images import gray_image, resize_center_crop
 from multimodal_uncertainty_tpu.data.loaders import MapLoader
-from multimodal_uncertainty_tpu.data.tokenization import BertTokenizer, Vocab, get_vocab
+from multimodal_uncertainty_tpu.data.tokenization import Vocab, get_vocab
 from multimodal_uncertainty_tpu.utils.seeding import numpy_seed
 
 

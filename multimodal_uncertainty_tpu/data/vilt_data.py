@@ -9,13 +9,10 @@ pad-and-mask)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from multimodal_uncertainty_tpu.data.flava_encoded import BaseDataset
 from multimodal_uncertainty_tpu.data.images import resize_center_crop
-from multimodal_uncertainty_tpu.data.tokenization import BertTokenizer
 
 
 class VILTDataset(BaseDataset):

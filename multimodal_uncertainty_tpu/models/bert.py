@@ -13,7 +13,7 @@ Pretrained weights import from a local torch state dict via
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ masks instead of looping 43 sequential forwards.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ than ``from_pretrained`` (no network in this environment).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
