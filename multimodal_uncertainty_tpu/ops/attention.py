@@ -61,41 +61,62 @@ def sdpa_xla(
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)  # (S, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # blocks carry G heads: (1, G, S, Dh)
+    q = q_ref[0].astype(jnp.float32)  # (G, S, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     scores = jax.lax.dot_general(
         q,
         k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (S, S)
-    mask = mask_ref[0]  # (1, S) int32 keep flags -> broadcast over queries
-    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
+    ) * scale  # (G, S, S)
+    mask = mask_ref[0]  # (1, S) int32 keep flags -> broadcast over G, queries
+    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)[None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    out = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, S, Dh)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _heads_per_block(h: int, s: int, dh: int) -> int:
+    """Largest divisor of h whose per-step VMEM footprint stays ~<=8MB:
+    scores (G, S, S) fp32 + 4x (G, S, Dh) fp32."""
+    budget = 8 * 1024 * 1024
+    best = 1
+    for g in range(1, h + 1):
+        if h % g:
+            continue
+        need = 4 * g * s * s + 4 * 4 * g * s * dh
+        if need <= budget:
+            best = g
+    return best
 
 
 def _sdpa_pallas_fwd_impl(q, k, v, mask_i32, *, interpret: bool):
     b, h, s, dh = q.shape
     scale = 1.0 / (dh**0.5)
+    g = _heads_per_block(h, s, dh)
     kernel = functools.partial(_attn_kernel, scale=scale)
-    grid = (b, h)
+    grid = (b, h // g)
     blk = lambda bi, hi: (bi, hi, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, s, dh), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, s, dh), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, s, dh), blk, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, g, s, dh), blk, memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * s * s * dh,

@@ -1,0 +1,120 @@
+"""Serving: checkpoint -> jitted batched predictor.
+
+The reference has no serving path (research scripts only); this module makes
+trained checkpoints directly consumable for deployment-style inference:
+
+* one jitted forward per padded shape bucket (bounded compile count),
+* ensemble-mean probabilities (the eval-time head handling used everywhere),
+* optional modality ablation via the masked forward (uncertainty probes at
+  serving time — the framework's scientific capability as an inference
+  feature).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_uncertainty_tpu.training.checkpoint import load_weights, restore_into
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class FusionPredictor:
+    """Batched predictor over a FlavaFusionTransformer checkpoint."""
+
+    def __init__(
+        self,
+        model,
+        checkpoint_path: str,
+        *,
+        template_variables,
+        pad_multiple: int = 32,
+        batch_buckets: Sequence[int] = (8, 32, 128),
+    ):
+        model_sd, _ = load_weights(checkpoint_path)
+        self.variables = restore_into(template_variables, model_sd)
+        self.model = model
+        self.pad_multiple = pad_multiple
+        self.batch_buckets = sorted(batch_buckets)
+
+        @jax.jit
+        def _forward(variables, img, txt, img_mask, txt_mask):
+            logits = model.apply(
+                variables, (img, txt), train=False,
+                img_mask=img_mask, txt_mask=txt_mask,
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return probs.mean(axis=1)  # ensemble-mean over heads
+
+        self._forward = _forward
+
+    def _bucket_batch(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return _round_up(n, self.batch_buckets[-1])
+
+    def predict(
+        self,
+        img: np.ndarray,
+        txt: np.ndarray,
+        *,
+        img_lengths: Optional[np.ndarray] = None,
+        txt_lengths: Optional[np.ndarray] = None,
+        ablate: Optional[str] = None,  # None | 'image' | 'text'
+    ) -> np.ndarray:
+        """(N, L_i, D), (N, L_t, D) -> (N, C) ensemble-mean probabilities.
+
+        Lengths (if given) mask padding; ``ablate`` drops a modality using the
+        numerically-exact masked forward.
+        """
+        n = img.shape[0]
+        nb = self._bucket_batch(n)
+        li = _round_up(img.shape[1], self.pad_multiple)
+        lt = _round_up(txt.shape[1], self.pad_multiple)
+
+        img_p = np.zeros((nb, li, img.shape[2]), np.float32)
+        txt_p = np.zeros((nb, lt, txt.shape[2]), np.float32)
+        img_p[:n, : img.shape[1]] = img
+        txt_p[:n, : txt.shape[1]] = txt
+
+        pos_i = np.arange(li)[None, :]
+        pos_t = np.arange(lt)[None, :]
+        im_full = np.zeros((nb, li), bool)
+        tm_full = np.zeros((nb, lt), bool)
+        il = img_lengths if img_lengths is not None else np.full(n, img.shape[1])
+        tl = txt_lengths if txt_lengths is not None else np.full(n, txt.shape[1])
+        im_full[:n] = pos_i < np.asarray(il)[:, None]
+        tm_full[:n] = pos_t < np.asarray(tl)[:, None]
+        if ablate == "image":
+            im_full[:] = False
+        elif ablate == "text":
+            tm_full[:] = False
+
+        probs = self._forward(
+            self.variables,
+            jnp.asarray(img_p),
+            jnp.asarray(txt_p),
+            jnp.asarray(im_full),
+            jnp.asarray(tm_full),
+        )
+        return np.asarray(probs)[:n]
+
+    def predict_with_uncertainty(
+        self, img: np.ndarray, txt: np.ndarray, **kw
+    ) -> Tuple[np.ndarray, dict]:
+        """Probabilities + modality-sensitivity diagnostics (|dp| against
+        image-only / text-only ablations)."""
+        full = self.predict(img, txt, **kw)
+        img_only = self.predict(img, txt, ablate="text", **{k: v for k, v in kw.items() if k != "ablate"})
+        txt_only = self.predict(img, txt, ablate="image", **{k: v for k, v in kw.items() if k != "ablate"})
+        return full, {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }

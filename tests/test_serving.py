@@ -1,0 +1,72 @@
+"""Serving predictor tests."""
+import os
+
+import jax
+import numpy as np
+
+from multimodal_uncertainty_tpu.models import FlavaFusionTransformer
+from multimodal_uncertainty_tpu.serving import FusionPredictor
+from multimodal_uncertainty_tpu.training.checkpoint import save_weights
+
+D = 32
+
+
+def _make_ckpt(tmp_path):
+    model = FlavaFusionTransformer(
+        out_dim=2, num_classes=3, image_hidden_size=D, text_hidden_size=D,
+        multimodal_hidden_size=D, multimodal_num_attention_heads=2,
+        multimodal_num_hidden_layers=1, attn_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0)}, (img, txt), train=False)
+    path = os.path.join(tmp_path, "model_best_val.pt")
+    save_weights(variables, None, path)
+    return model, variables, path
+
+
+def test_predict_shapes_and_normalization(tmp_path):
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16),
+    )
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(3, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(3, 4, D)).astype(np.float32)
+    probs = pred.predict(img, txt)
+    assert probs.shape == (3, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_padding_and_buckets_do_not_change_results(tmp_path):
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16),
+    )
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    p_small = pred.predict(img, txt)
+    # same rows inside a bigger (differently padded) batch
+    img6 = np.concatenate([img, rng.normal(size=(4, 5, D)).astype(np.float32)])
+    txt6 = np.concatenate([txt, rng.normal(size=(4, 4, D)).astype(np.float32)])
+    p_big = pred.predict(img6, txt6)
+    np.testing.assert_allclose(p_small, p_big[:2], atol=1e-4)
+
+
+def test_uncertainty_diagnostics(tmp_path):
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,),
+    )
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    probs, diag = pred.predict_with_uncertainty(img, txt)
+    assert set(diag) == {"confidence", "image_sensitivity", "text_sensitivity"}
+    assert (diag["confidence"] >= 1 / 3 - 1e-6).all()
+    assert (diag["image_sensitivity"] >= 0).all()
