@@ -113,8 +113,9 @@ class MapLoader:
             try:
                 for sel in batches:
                     q.put(self._make_batch(sel))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -122,6 +123,9 @@ class MapLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

@@ -232,6 +232,12 @@ class Trainer:
                     },
                 )
 
+            if not losses:
+                raise RuntimeError(
+                    f"epoch {epoch}: train generator yielded no batches "
+                    f"(expected {n_steps} steps) — check the data pipeline"
+                )
+
             if profiling:
                 # sync before stopping the trace so the epoch's compute is in it
                 jax.device_get(losses[-1])

@@ -87,23 +87,48 @@ def make_hateful_meme(root: str, n_train=64, n_eval=16, seed=0, d=768):
     print(f"hateful-meme-dataset written to {base}")
 
 
-def make_food101(root: str, n_train=64, n_eval=16, n_classes=5, seed=1):
+def make_food101(root: str, n_train=64, n_eval=16, n_classes=5, seed=1, d=768):
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "food101")
     os.makedirs(os.path.join(base, "images"), exist_ok=True)
+    packed = os.path.join(base, "flava_packed")
+    os.makedirs(packed, exist_ok=True)
     class_names = [f"dish_{c}" for c in range(n_classes)]
 
     for phase, n in (("train", n_train), ("dev", n_eval), ("test", n_eval)):
         rows = []
+        img_parts, txt_parts, labels = [], [], []
+        img_off, txt_off = [0], [0]
         for i in range(n):
             label = int(rng.integers(0, n_classes))
             img_rel = f"images/{phase}{i:05d}.png"
             _write_png(os.path.join(base, img_rel), rng, label)
             rows.append({"img": img_rel, "text": _fake_text(rng, label),
                          "label": class_names[label]})
+            li = int(rng.integers(5, 12))
+            lt = int(rng.integers(4, 9))
+            img_parts.append(
+                rng.normal(size=(li, d)).astype(np.float32) + label * 0.3
+            )
+            txt_parts.append(
+                rng.normal(size=(lt, d)).astype(np.float32) - label * 0.3
+            )
+            labels.append(label)
+            img_off.append(img_off[-1] + li)
+            txt_off.append(txt_off[-1] + lt)
         with open(os.path.join(base, f"{phase}.jsonl"), "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+        np.save(os.path.join(packed, f"{phase}_img.npy"),
+                np.concatenate(img_parts))
+        np.save(os.path.join(packed, f"{phase}_txt.npy"),
+                np.concatenate(txt_parts))
+        np.save(os.path.join(packed, f"{phase}_img_offsets.npy"),
+                np.asarray(img_off))
+        np.save(os.path.join(packed, f"{phase}_txt_offsets.npy"),
+                np.asarray(txt_off))
+        np.save(os.path.join(packed, f"{phase}_labels.npy"),
+                np.asarray(labels, np.int64))
 
     with open(os.path.join(base, "vocab.txt"), "w") as f:
         for tok in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + sorted(set(WORDS)):
