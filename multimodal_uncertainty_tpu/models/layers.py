@@ -146,6 +146,7 @@ class Conv(nn.Module):
     strides: Sequence[int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = False
+    dtype: Optional[Dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
@@ -156,6 +157,7 @@ class Conv(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             kernel_init=he_normal_fan_out,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -164,6 +166,7 @@ class BatchNorm(nn.Module):
     """BatchNorm2d with torch defaults (momentum 0.1, eps 1e-5), NHWC."""
 
     use_running_average: bool
+    dtype: Optional[Dtype] = None  # compute dtype (stats/params fp32)
 
     @nn.compact
     def __call__(self, x):
@@ -173,6 +176,7 @@ class BatchNorm(nn.Module):
             epsilon=1e-5,
             scale_init=nn.initializers.ones,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="bn",
         )(x)
 

@@ -98,6 +98,7 @@ class MultimodalBertEncoder(nn.Module):
     sep_token_id: int = 102  # bert-base-uncased [SEP]
     resnet_layers: tuple = (3, 8, 36, 3)
     attn_impl: str = "auto"
+    dtype: any = None  # compute dtype (bf16 for speed; params stay fp32)
 
     @nn.compact
     def __call__(
@@ -125,6 +126,7 @@ class MultimodalBertEncoder(nn.Module):
             self.num_image_embeds,
             self.img_embed_pool_type,
             self.resnet_layers,
+            dtype=self.dtype,
             name="img_encoder",
         )(input_img, train=train)
 
@@ -132,6 +134,8 @@ class MultimodalBertEncoder(nn.Module):
         position_ids = jnp.arange(input_txt.shape[1])[None, :]
         txt_x = word_emb[input_txt] + pos_emb[position_ids] + tok_emb[segment]
         txt_x = layer_norm(txt_x, ln_w, ln_b, c.layer_norm_eps)
+        if self.dtype is not None:
+            txt_x = txt_x.astype(self.dtype)
         txt_embed_out = nn.Dropout(
             c.hidden_dropout_prob, deterministic=not train
         )(txt_x)
@@ -152,6 +156,8 @@ class MultimodalBertEncoder(nn.Module):
             train=train,
         )
 
+        if self.dtype is not None:
+            img_embed_out = img_embed_out.astype(self.dtype)
         encoder_input = jnp.concatenate([img_embed_out, txt_embed_out], axis=1)
         full_mask = jnp.concatenate(
             [jnp.ones((bsz, n_img_tok), jnp.int32), attention_mask.astype(jnp.int32)],
@@ -191,6 +197,7 @@ class MultimodalBertClf(nn.Module):
     dropout: float = 0.1
     resnet_layers: tuple = (3, 8, 36, 3)
     attn_impl: str = "auto"
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, seq_keep_mask=None):
@@ -203,6 +210,7 @@ class MultimodalBertClf(nn.Module):
             self.dropout,
             resnet_layers=self.resnet_layers,
             attn_impl=self.attn_impl,
+            dtype=self.dtype,
             name="enc",
         )(txt, mask, segment, img, train=train, seq_keep_mask=seq_keep_mask)
         return Linear(self.n_classes, name="clf")(pooled)

@@ -22,27 +22,31 @@ class TVBottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         residual = x
-        out = Conv(self.planes, (1, 1), name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        dt = self.dtype
+        out = Conv(self.planes, (1, 1), dtype=dt, name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(out)
         out = nn.relu(out)
-        out = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv2")(out)
-        out = BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = Conv(self.planes, (3, 3), (self.stride, self.stride), dtype=dt,
+                   name="conv2")(out)
+        out = BatchNorm(use_running_average=not train, dtype=dt, name="bn2")(out)
         out = nn.relu(out)
-        out = Conv(self.planes * self.expansion, (1, 1), name="conv3")(out)
-        out = BatchNorm(use_running_average=not train, name="bn3")(out)
+        out = Conv(self.planes * self.expansion, (1, 1), dtype=dt, name="conv3")(out)
+        out = BatchNorm(use_running_average=not train, dtype=dt, name="bn3")(out)
         if self.downsample:
             residual = Conv(
                 self.planes * self.expansion,
                 (1, 1),
                 (self.stride, self.stride),
+                dtype=dt,
                 name="downsample_conv",
             )(x)
             residual = BatchNorm(
-                use_running_average=not train, name="downsample_bn"
+                use_running_average=not train, dtype=dt, name="downsample_bn"
             )(residual)
         return nn.relu(out + residual)
 
@@ -51,12 +55,15 @@ class ResNetTrunkTV(nn.Module):
     """Headless torchvision ResNet; layers=(3,8,36,3) == ResNet-152."""
 
     layers: Sequence[int] = (3, 8, 36, 3)
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         # x: (B, H, W, 3)
-        x = Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
-        x = BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype,
+                 name="conv1")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         inplanes = 64
@@ -68,7 +75,8 @@ class ResNetTrunkTV(nn.Module):
                 s = stride if j == 0 else 1
                 downsample = j == 0 and (s != 1 or inplanes != planes * 4)
                 x = TVBottleneck(
-                    planes, s, downsample, name=f"layer{stage + 1}_{j}"
+                    planes, s, downsample, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{j}",
                 )(x, train=train)
                 inplanes = planes * 4
         return x  # (B, 7, 7, 2048) for 224 input
@@ -106,10 +114,13 @@ class ImageEncoder(nn.Module):
     num_image_embeds: int = 3
     pool_mode: str = "avg"
     layers: Sequence[int] = (3, 8, 36, 3)
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        feats = ResNetTrunkTV(self.layers, name="model")(x, train=train)
+        feats = ResNetTrunkTV(self.layers, dtype=self.dtype, name="model")(
+            x.astype(self.dtype) if self.dtype is not None else x, train=train
+        )
         n = self.num_image_embeds
         if n in (1, 2, 3, 5, 7):
             out_hw = (n, 1)

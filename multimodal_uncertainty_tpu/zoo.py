@@ -254,6 +254,7 @@ def setup_mmbt(
     sample_txt_len: int = 16,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    dtype=None,
     pretrained_bert_sd=None,
     pretrained_resnet_sd=None,
 ) -> Setup:
@@ -281,6 +282,7 @@ def setup_mmbt(
         dropout=dropout,
         resnet_layers=tuple(resnet_layers),
         attn_impl=attn_impl,
+        dtype=dtype,
     )
     optimizer = bert_adam(lr, warmup, float(total_steps))
     plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)

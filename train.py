@@ -81,7 +81,7 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 activations (flava path)")
+                        help="bfloat16 activations (flava/mmbt paths)")
     # guided/random diversity training signal (training_guided.gin /
     # training_random.gin intent — see ops/diversity.py)
     parser.add_argument("--diversity", type=str, default="none",
@@ -207,6 +207,7 @@ def main():
             vocab_size=vocab.vocab_sz,
             seed_key=root_key,
             attn_impl=args.attn_impl,
+            dtype=jnp.bfloat16 if args.bf16 else None,
             pretrained_bert_sd=load_sd(args.bert_weights),
             pretrained_resnet_sd=load_sd(args.resnet_weights),
         )
