@@ -42,6 +42,7 @@ class ViltConfig:
     patch_size: int = 32
     num_labels: int = 2
     dropout: float = 0.0
+    dtype: str = "float32"  # "bfloat16" for speed (params stay fp32)
 
     @staticmethod
     def b32() -> "ViltConfig":
@@ -140,6 +141,8 @@ class ViltModel(nn.Module):
         txt = txt  # modality type 0 is tok[0] via token_type_ids*0 above
 
         x = jnp.concatenate([txt, img], axis=1)
+        if c.dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
         if pixel_mask is not None:
             if pixel_mask.ndim == 4:  # (B, 1, H, W)
                 pixel_mask = pixel_mask[:, 0]

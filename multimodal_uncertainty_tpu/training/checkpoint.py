@@ -10,24 +10,29 @@ returns the optimizer state too so resume is exact.
 """
 from __future__ import annotations
 
+import atexit
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
 from flax import serialization
 
+# Single background writer: device->host copy happens on the caller (cheap,
+# consistent snapshot); msgpack serialization + disk I/O happen off the
+# training thread so epoch boundaries don't stall on checkpoint size.
+_writer = ThreadPoolExecutor(max_workers=1)
+_pending_lock = threading.Lock()
+_pending: dict = {}
+
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda a: np.asarray(jax.device_get(a)), tree)
 
 
-def save_weights(model_variables: Any, opt_state: Optional[Any], filename: str) -> None:
-    """Save all weights necessary to resume training."""
-    state = {
-        "model": _to_numpy(model_variables),
-        "optimizer": _to_numpy(opt_state) if opt_state is not None else {},
-    }
+def _write_blob(state: dict, filename: str) -> None:
     blob = serialization.msgpack_serialize(state)
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
@@ -35,8 +40,52 @@ def save_weights(model_variables: Any, opt_state: Optional[Any], filename: str) 
     os.replace(tmp, filename)
 
 
+def flush_pending_writes() -> None:
+    """Block until all queued checkpoint writes are on disk."""
+    with _pending_lock:
+        futures = list(_pending.values())
+    for f in futures:
+        f.result()
+
+
+atexit.register(flush_pending_writes)
+
+
+def save_weights(
+    model_variables: Any,
+    opt_state: Optional[Any],
+    filename: str,
+    *,
+    async_write: bool = True,
+) -> None:
+    """Save all weights necessary to resume training.
+
+    The device->host snapshot is taken synchronously; serialization and the
+    atomic file write run on a background thread by default (pass
+    ``async_write=False`` or call :func:`flush_pending_writes` to block).
+    """
+    state = {
+        "model": _to_numpy(model_variables),
+        "optimizer": _to_numpy(opt_state) if opt_state is not None else {},
+    }
+    if not async_write:
+        _write_blob(state, filename)
+        return
+    with _pending_lock:
+        prev = _pending.get(filename)
+    if prev is not None:
+        prev.result()  # keep per-file write order
+    fut = _writer.submit(_write_blob, state, filename)
+    with _pending_lock:
+        _pending[filename] = fut
+
+
 def load_weights(filename: str) -> Tuple[Any, Any]:
     """Returns (model_variables, opt_state) as numpy pytrees."""
+    with _pending_lock:
+        fut = _pending.get(filename)
+    if fut is not None:
+        fut.result()  # don't read a file whose write is still queued
     with open(filename, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     return state["model"], state.get("optimizer", {})
