@@ -137,22 +137,90 @@ def _sdpa_pallas_fwd(q, k, v, mask_i32, interpret):
     return out, (q, k, v, mask_i32)
 
 
-def _sdpa_pallas_bwd(interpret, res, g):
-    del interpret
-    q, k, v, mask_i32 = res
-    dh = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    # mask_i32: (B, 1, S) -> broadcast to (B, 1, 1, S)
-    scores = scores + jnp.where(mask_i32 > 0, 0.0, NEG_INF)[:, :, None, :]
-    p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Fused backward: recompute p in VMEM, then dv/ds/dq/dk without any
+    HBM-resident (S, S) intermediates."""
+    q = q_ref[0].astype(jnp.float32)  # (G, S, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bq = (((2,), (2,)), ((0,), (0,)))  # contract last dims, batch head axis
+    scores = jax.lax.dot_general(q, k, bq, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    mask = mask_ref[0]
+    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)[None]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, Sq, Sk)
+
+    # dv = p^T g : contract the query axis
+    dv = jax.lax.dot_general(
+        p, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp = g v^T
+    dp = jax.lax.dot_general(
+        g, v, bq, preferred_element_type=jnp.float32
+    )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_heads_per_block(h: int, s: int, dh: int) -> int:
+    """4 (G,S,S) fp32 buffers + 7 (G,S,Dh) fp32 buffers under ~10MB."""
+    budget = 10 * 1024 * 1024
+    best = 1
+    for g in range(1, h + 1):
+        if h % g:
+            continue
+        need = 4 * 4 * g * s * s + 4 * 7 * g * s * dh
+        if need <= budget:
+            best = g
+    return best
+
+
+def _sdpa_pallas_bwd(interpret, res, grad):
+    q, k, v, mask_i32 = res
+    b, h, s, dh = q.shape
+    scale = 1.0 / (dh**0.5)
+    g_heads = _bwd_heads_per_block(h, s, dh)
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    grid = (b, h // g_heads)
+    blk = lambda bi, hi: (bi, hi, 0, 0)  # noqa: E731
+    spec = pl.BlockSpec((1, g_heads, s, dh), blk, memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec,
+        ],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * s * s * dh,
+            bytes_accessed=4 * b * h * s * dh * 7,
+            transcendentals=b * h * s * s,
+        ),
+    )(q, k, v, mask_i32, grad)
+    return dq, dk, dv, None
 
 
 _sdpa_pallas.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)

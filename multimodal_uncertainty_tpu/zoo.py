@@ -252,6 +252,7 @@ def setup_mmbt(
     vocab_size: Optional[int] = None,
     image_size: int = 224,
     sample_txt_len: int = 16,
+    modality: str = "both",  # both | image | text (unimodal baselines)
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     dtype=None,
@@ -288,12 +289,29 @@ def setup_mmbt(
     plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)
 
     base_apply = _flax_apply_fn(model, has_batch_stats=True)
+    n_img_tok = num_image_embeds + 2
+
+    def _modality_mask(bsz, txt_len):
+        if modality == "image":
+            return jnp.concatenate(
+                [jnp.ones((bsz, n_img_tok), bool), jnp.zeros((bsz, txt_len), bool)],
+                axis=1,
+            )
+        if modality == "text":  # keep CLS only from the image segment
+            return jnp.concatenate(
+                [jnp.ones((bsz, 1), bool), jnp.zeros((bsz, n_img_tok - 1), bool),
+                 jnp.ones((bsz, txt_len), bool)],
+                axis=1,
+            )
+        return None
 
     def apply_fn(variables, x, *, train, rngs, seq_keep_mask=None):
         txt, mask, segment, img = x
         if img.dtype == jnp.uint8:
             img = normalize_on_device(img, FOOD101_MEAN, FOOD101_STD)
         x = (txt, mask, segment, img)
+        if seq_keep_mask is None and modality != "both":
+            seq_keep_mask = _modality_mask(txt.shape[0], txt.shape[1])
         if train:
             return model.apply(
                 variables, x, train=True, rngs=rngs, mutable=["batch_stats"],

@@ -91,6 +91,9 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="shrunken mmbt/vilt configs for smoke tests")
     parser.add_argument("--ece", action="store_true",
                         help="log expected calibration error per epoch")
+    parser.add_argument("--modality", type=str, default="both",
+                        choices=["both", "image", "text"],
+                        help="mmbt unimodal-baseline training (keep-mask)")
     # multi-chip mesh (TPU-native scaling; reference is single-device)
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="devices on the 'data' mesh axis")
@@ -145,6 +148,10 @@ def main():
     from multimodal_uncertainty_tpu import zoo
 
     root_key = set_seed(args.seed)
+    if args.data_parallel * args.model_parallel > 1 and args.attn_impl == "auto":
+        # pallas_call doesn't auto-partition under GSPMD; use the XLA
+        # attention on multi-chip meshes until the kernel is shard_mapped.
+        args.attn_impl = "xla"
     print(args)
 
     if args.framework == "mmbt":
@@ -205,6 +212,7 @@ def main():
             img_embed_pool_type=args.img_embed_pool_type,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             vocab_size=vocab.vocab_sz,
+            modality=args.modality,
             seed_key=root_key,
             attn_impl=args.attn_impl,
             dtype=jnp.bfloat16 if args.bf16 else None,
