@@ -296,6 +296,13 @@ class Trainer:
                 break
 
         callback_list.on_train_end({})
+        # checkpoint writes are async (training/checkpoint.py); make them
+        # durable before returning control to the caller
+        from multimodal_uncertainty_tpu.training.checkpoint import (
+            flush_pending_writes,
+        )
+
+        flush_pending_writes()
         if stopped_epoch > 0:
             print("Epoch %05d: completed stopping" % stopped_epoch)
         return self.state

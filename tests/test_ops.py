@@ -162,3 +162,43 @@ def test_layernorm_bf16_runs_fp32_internally():
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(f32), atol=0.05
     )
+
+
+def test_sdpa_xla_grads_match_torch():
+    rng = np.random.default_rng(7)
+    b, h, s, d = 2, 2, 12, 8
+    qn, kn, vn = (rng.normal(size=(b, h, s, d)).astype(np.float32) for _ in range(3))
+    mask_np = (rng.random((b, s)) > 0.3)
+    mask_np[:, 0] = True
+
+    tq, tk, tv = (torch.tensor(t, requires_grad=True) for t in (qn, kn, vn))
+    km = torch.tensor(mask_np)
+    attn_mask = torch.zeros(b, 1, 1, s).masked_fill(~km[:, None, None, :], float("-inf"))
+    out = F.scaled_dot_product_attention(tq, tk, tv, attn_mask=attn_mask)
+    out.pow(2).sum().backward()
+
+    def loss(q, k, v):
+        o = sdpa_xla(q, k, v, jnp.asarray(mask_np))
+        return jnp.sum(o**2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(qn), jnp.asarray(kn), jnp.asarray(vn)
+    )
+    np.testing.assert_allclose(np.asarray(gq), tq.grad.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk), tk.grad.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=3e-5)
+
+
+def test_pallas_kernel_under_vmap():
+    """The robustness sweeps vmap the kernel over a variant axis."""
+    rng = np.random.default_rng(8)
+    b, h, s, d = 2, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)) for _ in range(3))
+    masks = jnp.asarray(rng.random((5, b, s)) > 0.3).at[:, :, 0].set(True)
+
+    def one(m, impl):
+        return scaled_dot_product_attention(q, k, v, m, impl=impl)
+
+    ref = jax.vmap(lambda m: one(m, "xla"))(masks)
+    out = jax.vmap(lambda m: one(m, "pallas_interpret"))(masks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
