@@ -233,6 +233,29 @@ def _on_tpu() -> bool:
         return False
 
 
+def sdpa_shard_mapped(mesh, *, impl: str = "pallas", batch_axis: str = "data"):
+    """Batch-data-parallel wrapper: runs the fused kernel per shard via
+    jax.shard_map (pallas_call is not GSPMD-partitioned on its own).
+
+    Returns fn(q, k, v, key_mask) for arrays sharded on the leading batch
+    axis. Attention is batch-local, so no collectives are needed.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec4 = P(batch_axis)
+
+    def inner(q, k, v, key_mask):
+        return scaled_dot_product_attention(q, k, v, key_mask, impl=impl)
+
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(spec4, spec4, spec4, spec4),
+        out_specs=spec4,
+        check_vma=False,
+    )
+
+
 def scaled_dot_product_attention(
     q: jax.Array,
     k: jax.Array,

@@ -86,3 +86,22 @@ def test_batch_sharding_spreads_over_data_axis():
     # each data-axis shard holds B / data_size rows
     shard_shapes = {tuple(s.data.shape) for s in s_img.addressable_shards}
     assert shard_shapes == {(16 // 4, 12, 768)}
+
+
+def test_pallas_attention_under_shard_map():
+    """Fused kernel runs per-shard via jax.shard_map (interpret on CPU)."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        sdpa_shard_mapped,
+        sdpa_xla,
+    )
+
+    mesh = make_mesh(8, model_parallel=1, axis_names=("data", "model"))
+    rng = np.random.default_rng(0)
+    b, h, s, d = 16, 2, 32, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    f = sdpa_shard_mapped(mesh, impl="pallas_interpret")
+    out = jax.jit(f)(q, k, v, mask)
+    ref = sdpa_xla(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
