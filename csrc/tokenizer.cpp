@@ -36,7 +36,11 @@ inline bool is_space(unsigned char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r';
 }
 
-inline bool is_control(unsigned char c) { return c < 32 && !is_space(c); }
+inline bool is_control(unsigned char c) {
+  // matches Python's unicodedata Cc handling for ASCII: 0x00-0x1F (minus
+  // whitespace) and DEL (0x7F)
+  return (c < 32 && !is_space(c)) || c == 127;
+}
 
 // basic tokenize: clean, lowercase, split on whitespace + punctuation
 void basic_tokenize(const Tokenizer& tok, const char* text,

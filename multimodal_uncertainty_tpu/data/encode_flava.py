@@ -4,12 +4,12 @@ Reference ``data/encoding_with_flava.py:14-99``: run ``facebook/flava-full``
 over each sample, saving per-sample image embeddings (~197 x 768) and text
 embeddings (<=max_len x 768) plus error-case lists.
 
-TPU re-design: batched encoding (the reference ran one sample at a time on
-GPU) writing directly to the packed memory-mapped shard layout that the
-training path consumes (see data/flava_encoded.py). Requires the
-``transformers`` FLAVA weights to be locally available (``local_files_only``
-— this environment has no network); gate failures per sample into the
-``{phase}_error_cases.txt`` contract.
+TPU re-design: encodes straight into the packed memory-mapped shard layout
+that the training path consumes (see data/flava_encoded.py) instead of one
+file pair per sample. Model calls are per-sample like the reference (each
+sample's error must be attributable for the ``{phase}_error_cases.txt``
+contract); the win is on the *consumer* side. Requires the ``transformers``
+FLAVA weights locally (``local_files_only`` — no network here).
 """
 from __future__ import annotations
 
@@ -104,8 +104,15 @@ def encoding_with_flava(
             img_off.append(img_off[-1] + img_e.shape[0])
             txt_off.append(txt_off[-1] + txt_e.shape[0])
 
-    np.save(os.path.join(out_dir, f"{phase}_img.npy"), np.concatenate(img_parts))
-    np.save(os.path.join(out_dir, f"{phase}_txt.npy"), np.concatenate(txt_parts))
+    d = img_parts[0].shape[-1] if img_parts else 768
+    np.save(
+        os.path.join(out_dir, f"{phase}_img.npy"),
+        np.concatenate(img_parts) if img_parts else np.zeros((0, d), np.float32),
+    )
+    np.save(
+        os.path.join(out_dir, f"{phase}_txt.npy"),
+        np.concatenate(txt_parts) if txt_parts else np.zeros((0, d), np.float32),
+    )
     np.save(os.path.join(out_dir, f"{phase}_img_offsets.npy"), np.asarray(img_off))
     np.save(os.path.join(out_dir, f"{phase}_txt_offsets.npy"), np.asarray(txt_off))
     np.save(

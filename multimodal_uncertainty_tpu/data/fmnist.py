@@ -72,7 +72,11 @@ def load_fmnist_arrays(
         images = _read_idx(img_path)
         labels = _read_idx(lbl_path).astype(np.int64)
         return images, labels
-    if not synthetic and os.path.exists(img_path + ".gz"):
+    if (
+        not synthetic
+        and os.path.exists(img_path + ".gz")
+        and os.path.exists(lbl_path + ".gz")
+    ):
         images = _read_idx(img_path + ".gz")
         labels = _read_idx(lbl_path + ".gz").astype(np.int64)
         return images, labels

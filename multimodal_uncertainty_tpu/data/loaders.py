@@ -108,26 +108,50 @@ class MapLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+
+        def _put(item) -> bool:
+            """Put unless the consumer cancelled; returns False on cancel."""
+            while True:
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if cancel.is_set():
+                        return False
 
         def producer():
             try:
                 for sel in batches:
-                    q.put(self._make_batch(sel))
-                q.put(stop)
+                    if cancel.is_set():
+                        return
+                    if not _put(self._make_batch(sel)):
+                        return
+                _put(stop)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    t.join()
+                    raise item
+                yield item
+        finally:
+            # Consumer may stop early (e.g. eval with steps < len(loader));
+            # unblock and reap the producer instead of leaking it.
+            cancel.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover
+                    break
+            t.join()
 
 
 def subset_then_loaders(

@@ -119,7 +119,8 @@ class NativeTokenizer:
         ids = np.zeros((n, max_len), np.int64)
         mask = np.zeros((n, max_len), np.int64)
         ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
-        other_idx = [i for i in range(n) if i not in set(ascii_idx)]
+        ascii_set = set(ascii_idx)
+        other_idx = [i for i in range(n) if i not in ascii_set]
 
         if self._handle is not None and ascii_idx:
             blob = b"\0".join(texts[i].encode() for i in ascii_idx) + b"\0"

@@ -80,20 +80,29 @@ def cosine_warmup_schedule(lr: float, warmup_steps: int, total_steps: int) -> Ca
 
 
 def no_decay_mask(params) -> Any:
-    """True where weight decay APPLIES. Excludes biases and *Norm scales,
-    matching the reference's ``no_decay = ["bias", "LayerNorm.bias",
-    "LayerNorm.weight"]`` grouping (``train.py:137-141``)."""
+    """True where weight decay APPLIES, replicating the reference's torch
+    name-based grouping ``no_decay = ["bias", "LayerNorm.bias",
+    "LayerNorm.weight"]`` (``train.py:137-141``) exactly:
+
+    * any leaf named ``bias`` is excluded;
+    * params of modules whose torch name contains ``LayerNorm`` are excluded
+      — here that's the BertLayerNorm modules (named ``*LayerNorm``) and the
+      MMBT shared embedding LN leaves (``ln_weight``/``ln_bias``);
+    * everything else decays — INCLUDING the CLIP-style ``ln_pre``/``ln_1``
+      scales and BatchNorm scales, because their torch names
+      (``ln_pre.weight``, ``bn1.weight``) do not contain "LayerNorm" and the
+      reference therefore decays them.
+    """
 
     def decide(path) -> bool:
-        names = [
-            p.key if hasattr(p, "key") else str(p) for p in path
-        ]
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
         leaf = names[-1] if names else ""
         parents = "/".join(names[:-1]).lower()
-        if leaf in ("bias",):
+        if leaf in ("bias", "ln_bias"):
             return False
-        is_norm = any(t in parents for t in ("ln_", "layernorm", "ln_pre", "ln_post", "batchnorm", "_bn", "bn_", "norm"))
-        if is_norm and leaf in ("weight", "scale", "bias"):
+        if leaf == "ln_weight":
+            return False
+        if "layernorm" in parents and leaf in ("weight", "scale"):
             return False
         return True
 

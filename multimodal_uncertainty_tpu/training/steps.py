@@ -85,8 +85,12 @@ def build_train_step(
             new_batch_stats = state.batch_stats
 
         if accum > 1:
-            # Reference divides the loss by the accum factor
-            # (src/framework.py:294-304); scale grads equivalently.
+            # TRUE gradient accumulation: micro-batch grads (each scaled by
+            # 1/accum like the reference's loss division) are summed and
+            # applied every `accum` steps. NOTE this intentionally fixes a
+            # reference bug: src/framework.py:281,288 calls zero_grad()
+            # before EVERY micro-batch, so the reference's step applies only
+            # the LAST micro-batch's grad/accum (see DEVIATIONS.md).
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             acc_grads = jax.tree_util.tree_map(
                 jnp.add, state.accum_grads, grads

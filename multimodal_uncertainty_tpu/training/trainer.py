@@ -125,6 +125,11 @@ class Trainer:
                     },
                 )
 
+        if not losses:
+            # reference StepIterator semantics: empty phase -> zeros
+            info = {f"{phase}_loss": 0.0}
+            info.update({f"{phase}_{m}": 0.0 for m in self.metrics_names})
+            return info
         sizes_np = np.asarray(sizes, np.float64)
         losses_np = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
         loss = float((losses_np * sizes_np).sum() / sizes_np.sum()) if sizes_np.sum() else 0.0

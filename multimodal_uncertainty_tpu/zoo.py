@@ -198,7 +198,10 @@ def setup_flava(
         text_hidden_size=text_hidden_size,
         multimodal_num_attention_heads=multimodal_num_attention_heads,
         multimodal_num_hidden_layers=multimodal_num_hidden_layers,
-        drop=dropout if not clstoken else (dropout or 0.1),
+        # the reference passes args.dropout explicitly for BOTH classes
+        # (train.py:188-194), so the CLS variant's class default 0.1 never
+        # applies there either
+        drop=dropout,
         avg_pool=avg_pool,
         cls_token=clstoken,
         attn_impl=attn_impl,
@@ -386,7 +389,8 @@ def setup_vilt(
     )
     key = seed_key if seed_key is not None else jax.random.key(0)
     model = ViltForImagesAndTextClassification(config=cfg, attn_impl=attn_impl)
-    optimizer = adamw(constant_schedule(lr))
+    # torch.optim.AdamW defaults (reference train.py:171): wd=0.01
+    optimizer = adamw(constant_schedule(lr), weight_decay=0.01)
     plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)
 
     def apply_fn(variables, x, *, train, rngs):

@@ -62,3 +62,26 @@ def test_trainer_zero_batch_guard():
     with pytest.raises(RuntimeError, match="no batches"):
         trainer.train_loop(Empty(), valid_generator=None, test_generator=None,
                            epochs=1, scheduler_step_on="none")
+
+
+def test_map_loader_early_stop_reaps_producer():
+    """Consumer abandoning the iterator (eval with steps < len) must not leak
+    a blocked producer thread."""
+    import threading
+    import time
+
+    class DS:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return i
+
+    loader = MapLoader(DS(), 2, collate_fn=lambda x: np.asarray(x), prefetch=2)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon early
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1

@@ -113,17 +113,30 @@ def test_cosine_warmup_matches_hf():
 
 
 def test_no_decay_mask():
+    """Replicates torch name-based grouping: only 'bias' leaves and modules
+    whose torch name contains 'LayerNorm' are excluded — the reference
+    DECAYS CLIP-style ln_pre/ln_1 scales and BatchNorm scales because their
+    torch names ('ln_pre.weight', 'bn1.weight') don't match the list."""
     params = {
         "ln_pre": {"weight": jnp.ones(3), "bias": jnp.ones(3)},
         "c_fc": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)},
         "out": {"kernel": jnp.ones((3, 3))},
+        "attn_output_LayerNorm": {"weight": jnp.ones(3), "bias": jnp.ones(3)},
+        "txt_embeddings": {"ln_weight": jnp.ones(3), "ln_bias": jnp.ones(3)},
+        "bn1": {"bn": {"scale": jnp.ones(3), "bias": jnp.ones(3)}},
     }
     mask = no_decay_mask(params)
-    assert mask["ln_pre"]["weight"] is False
+    assert mask["ln_pre"]["weight"] is True   # torch name 'ln_pre.weight'
     assert mask["ln_pre"]["bias"] is False
     assert mask["c_fc"]["kernel"] is True
     assert mask["c_fc"]["bias"] is False
     assert mask["out"]["kernel"] is True
+    assert mask["attn_output_LayerNorm"]["weight"] is False
+    assert mask["attn_output_LayerNorm"]["bias"] is False
+    assert mask["txt_embeddings"]["ln_weight"] is False  # shared BERT emb LN
+    assert mask["txt_embeddings"]["ln_bias"] is False
+    assert mask["bn1"]["bn"]["scale"] is True  # torch decays BN weights
+    assert mask["bn1"]["bn"]["bias"] is False
 
 
 def test_plateau_matches_torch():
