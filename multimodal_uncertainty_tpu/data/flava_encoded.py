@@ -179,3 +179,46 @@ def get_dataset_flava(args, datapath: str):
     from multimodal_uncertainty_tpu.data.loaders import subset_then_loaders
 
     return subset_then_loaders(training, dev, testing, collate_fn_flava, args)
+
+
+def _simple_args(labels, error_cases_remover, name_extractor, batch_size,
+                 seed, sample_size, n_workers):
+    import types
+
+    return types.SimpleNamespace(
+        labels=labels,
+        error_cases_remover=error_cases_remover,
+        name_extractor=name_extractor,
+        batch_size=batch_size,
+        seed=seed,
+        sample_size=sample_size,
+        n_workers=n_workers,
+    )
+
+
+def get_hatefulmeme(datapath: str, batch_size: int = 128, shuffle: bool = True,
+                    seed: int = 42, sample_size=None, n_workers: int = 0):
+    """Convenience loader under the name the reference's robustness script
+    expects (``eval_transformer_robustness.py:64`` calls a
+    ``dataset.get_hatefulmeme`` that no longer existed there)."""
+    del shuffle  # train shuffles, eval doesn't — fixed policy like get_dataset
+    args = _simple_args(
+        list(range(2)), True, lambda x: x.split("/")[-1].split(".")[0],
+        batch_size, seed, sample_size, n_workers,
+    )
+    return get_dataset_flava(args, datapath)
+
+
+def get_food101_flava(datapath: str, batch_size: int = 128, shuffle: bool = True,
+                      seed: int = 42, sample_size=None, n_workers: int = 0):
+    """Counterpart of :func:`get_hatefulmeme` for Food-101 FLAVA embeddings
+    (``eval_transformer_robustness.py:61``)."""
+    from multimodal_uncertainty_tpu.data.food101 import get_labels_and_frequencies
+
+    del shuffle
+    labels, _ = get_labels_and_frequencies(os.path.join(datapath, "train.jsonl"))
+    args = _simple_args(
+        labels, False, lambda x: x.split(".")[0],
+        batch_size, seed, sample_size, n_workers,
+    )
+    return get_dataset_flava(args, datapath)
