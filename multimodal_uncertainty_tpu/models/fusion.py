@@ -73,6 +73,7 @@ class FlavaFusionTransformer(nn.Module):
     avg_pool: bool = False
     cls_token: bool = False
     attn_impl: str = "auto"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -143,6 +144,7 @@ class FlavaFusionTransformer(nn.Module):
             heads=self.multimodal_num_attention_heads,
             drop=self.drop,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="mm_encoder",
         )(mm_x, train=train, key_mask=mask)
         out = LayerNormFP32(name="ln_post")(out)

@@ -55,7 +55,7 @@ class ResidualAttentionBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool, key_mask: Optional[jax.Array] = None):
+    def __call__(self, x, train: bool = False, key_mask: Optional[jax.Array] = None):
         d = x.shape[-1]
         h = LayerNormFP32(name="ln_1")(x)
         x = x + MultiHeadAttention(self.n_head, self.attn_impl, name="attn")(
@@ -70,17 +70,28 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class Transformer(nn.Module):
-    """N-layer stack (reference ``src/model.py:215-223``)."""
+    """N-layer stack (reference ``src/model.py:215-223``).
+
+    ``remat=True`` rematerializes each block's activations in the backward
+    pass (jax.checkpoint) — trades ~30% more FLOPs for O(layers) less
+    activation memory, the standard lever for bigger batches/longer
+    sequences on HBM-limited chips."""
 
     layers: int
     heads: int
     drop: float = 0.0
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, key_mask: Optional[jax.Array] = None):
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(
+                ResidualAttentionBlock, static_argnums=(2,), prevent_cse=False
+            )
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.heads, self.drop, self.attn_impl, name=f"resblocks_{i}"
-            )(x, train=train, key_mask=key_mask)
+            )(x, train, key_mask)
         return x

@@ -186,6 +186,7 @@ def setup_flava(
     diversity_coef: float = 0.0,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    remat: bool = False,
     dtype=jnp.float32,
 ) -> Setup:
     out_dim = 1 if model_type == "Vanilla" else 2
@@ -205,6 +206,7 @@ def setup_flava(
         avg_pool=avg_pool,
         cls_token=clstoken,
         attn_impl=attn_impl,
+        remat=remat,
         dtype=dtype,
     )
     # AdamW betas (0.9, 0.98), eps 1e-9 + HF cosine warmup over 3 epochs

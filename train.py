@@ -91,6 +91,8 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="shrunken mmbt/vilt configs for smoke tests")
     parser.add_argument("--ece", action="store_true",
                         help="log expected calibration error per epoch")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize transformer blocks (less memory)")
     parser.add_argument("--modality", type=str, default="both",
                         choices=["both", "image", "text"],
                         help="mmbt unimodal-baseline training (keep-mask)")
@@ -260,6 +262,7 @@ def main():
             diversity_coef=args.diversity_coef,
             seed_key=root_key,
             attn_impl=args.attn_impl,
+            remat=args.remat,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
     else:
