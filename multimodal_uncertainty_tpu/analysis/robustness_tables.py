@@ -155,3 +155,56 @@ def ensemble_overtime(
         preds.append(ori)
     ensemble = np.asarray(preds).mean(0)
     return binary_auroc(labels, ensemble), per_epoch
+
+
+def epoch_wise_analysis(
+    phase, exp, epochs, dataset, *, mmbt=False, results_dir=None, n_repeats=20
+):
+    """Per-epoch robustness tables + dp correlations (reference
+    ``food101_robustness.py:80-126`` / ``hatefulmeme_robustness.py:114-155``).
+
+    Returns (results_df, corr_df): the per-variant metric table (ACC or AUC
+    column depending on dataset) stacked over epochs, and the image/text
+    dp-correlation trajectory indexed by epoch.
+    """
+    import pandas as pd
+
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        get_correlation,
+        load_robustness_experiment_results,
+    )
+
+    hateful = "hateful" in dataset
+    results, results_corr = [], []
+    for epoch in epochs:
+        checkpoint_name = f"model_epoch_{epoch}"
+        try:
+            predictions, labels = load_robustness_experiment_results(
+                checkpoint_name, phase, exp, dataset, results_dir
+            )
+        except FileNotFoundError:
+            print(f"Checkpoint {checkpoint_name} not found")
+            continue
+
+        if hateful:
+            outcomes = process_predictions_hatefulmeme(
+                predictions, labels, n_repeats=n_repeats
+            )
+            df = auc_table(*outcomes)
+        else:
+            outcomes = process_predictions_food101(
+                predictions, labels, mmbt=mmbt, n_repeats=n_repeats
+            )
+            df = acc_table(predictions, labels, mmbt=mmbt, n_repeats=n_repeats)
+        df["epoch"] = epoch
+        results.append(df)
+
+        corr = get_correlation(*outcomes)
+        corr["epoch"] = epoch
+        results_corr.append(corr)
+
+    if not results:
+        return None, None
+    results = pd.concat(results, ignore_index=True)
+    corr_df = pd.DataFrame(results_corr).set_index("epoch")
+    return results, corr_df

@@ -107,3 +107,33 @@ def test_missing_view_accuracy():
     rp[0, np.arange(s), :, labels] += 5.0  # only variant 0 is good
     accs = missing_view_accuracy(rp, labels)
     assert accs[0] > 0.9 and all(a < 0.6 for a in accs[1:])
+
+
+def test_epoch_wise_analysis_roundtrip(tmp_path):
+    """End-to-end: sweep artifacts on disk -> per-epoch tables + correlations."""
+    import os
+
+    from multimodal_uncertainty_tpu.analysis.robustness_tables import (
+        epoch_wise_analysis,
+    )
+
+    rng = np.random.default_rng(0)
+    exp = "expA"
+    dataset = "hateful-meme"
+    d = tmp_path / dataset / exp
+    os.makedirs(d)
+    s, r = 30, 4
+    for epoch in (1, 2):
+        preds = rng.normal(size=(s, 3 + 2 * r, 2, 2))
+        labels = rng.integers(0, 2, size=s)
+        preds[np.arange(s), 0, :, labels] += 3.0 * epoch
+        np.save(d / f"robustness_model_epoch_{epoch}_predictions_val.npy", preds)
+        np.save(d / f"robustness_model_epoch_{epoch}_labels_val.npy", labels)
+
+    results, corr = epoch_wise_analysis(
+        "val", exp, range(1, 4), dataset, results_dir=str(tmp_path), n_repeats=r
+    )
+    assert set(results["epoch"]) == {1, 2}  # epoch 3 missing -> skipped
+    full = results[results.variants == "full"].set_index("epoch").AUC
+    assert full[2] >= full[1] > 0.8  # stronger boost -> higher AUC
+    assert set(corr.columns) == {"image", "text"}
