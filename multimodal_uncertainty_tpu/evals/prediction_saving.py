@@ -27,7 +27,7 @@ def save_predictions(
     """Returns (outputs (S, M, C), labels (S,)); writes .npy if save_path."""
 
     @jax.jit
-    def fwd(x):
+    def fwd(variables, x):
         return apply_fn(variables, x, train=False, rngs=None)[0]
 
     outputs, labels = [], []
@@ -36,7 +36,7 @@ def save_predictions(
         m = x.shape[1]
         x_j, y_j = jnp.asarray(x), jnp.asarray(y)
         x_j, y_j = data_forming(None, x_j, y_j, "eval")
-        y_hat = fwd(x_j)
+        y_hat = fwd(variables, x_j)
         if model_type == "single-model-weight-sharing":
             y_hat = y_hat.reshape(b, m, y_hat.shape[-1])
             y_j = y_j.reshape(b, m)[:, 0]

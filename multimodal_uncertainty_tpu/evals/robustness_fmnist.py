@@ -22,16 +22,17 @@ def missing_view_sweep(
     loader,
     *,
     model_type: str,
-    data_forming,
+    data_forming=None,  # unused: eval-phase forming is inlined per variant
     save_path: Optional[str] = None,
     checkpoint_name: str = "model",
 ):
+    del data_forming
     m = 4
 
     if model_type != "single-model-weight-sharing":
 
         @jax.jit
-        def fwd_variants(x):
+        def fwd_variants(variables, x):
             # x: (B, M, C, H, W) -> variants (M, B, M, C, H, W), view i zeroed
             def one(i):
                 mask = (jnp.arange(m) != i).astype(x.dtype)[None, :, None, None, None]
@@ -42,7 +43,7 @@ def missing_view_sweep(
     else:
 
         @jax.jit
-        def fwd_variants(x):
+        def fwd_variants(variables, x):
             # drop view i: gather the other m-1 views, fold into batch
             def one(i):
                 keep = jnp.argsort(jnp.where(jnp.arange(m) == i, m + 1, jnp.arange(m)))[
@@ -59,7 +60,7 @@ def missing_view_sweep(
     outputs, labels = [], []
     for x, y in loader:
         x_j = jnp.asarray(x)
-        outputs.append(np.asarray(fwd_variants(x_j)))
+        outputs.append(np.asarray(fwd_variants(variables, x_j)))
         if model_type == "single-model-weight-sharing":
             # reference saves the *formed* labels, i.e. repeated per kept view
             # (eval_robustness.py:110-119)

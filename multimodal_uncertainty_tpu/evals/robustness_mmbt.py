@@ -65,8 +65,10 @@ def mmbt_robustness_sweep(
 ):
     rng = np.random.default_rng(seed)
 
+    # variables as a jit argument: one compile across checkpoints, no
+    # weights-as-constants in the executable (see robustness_transformer.py)
     @jax.jit
-    def fwd_variants(x, keep_masks):
+    def fwd_variants(variables, x, keep_masks):
         b = x[0].shape[0]
         v = keep_masks.shape[0]
         chunk = min(variant_chunk, v)
@@ -96,7 +98,9 @@ def mmbt_robustness_sweep(
         txt_len = x[0].shape[1]
         masks = build_mmbt_variant_masks(rng, txt_len, num_image_embeds, n_repeats)
         out = fwd_variants(
-            jax.tree_util.tree_map(jnp.asarray, tuple(x)), jnp.asarray(masks)
+            variables,
+            jax.tree_util.tree_map(jnp.asarray, tuple(x)),
+            jnp.asarray(masks),
         )
         preds.append(np.asarray(out))
         labels.append(np.asarray(y).reshape(-1))

@@ -79,8 +79,11 @@ def transformer_robustness_sweep(
     ``robustness_{ckpt}_predictions_{phase}.npy`` (+labels)."""
     rng = np.random.default_rng(seed)
 
+    # variables is a jit ARGUMENT (not a closure constant): one compilation
+    # serves every checkpoint (tools/epochwise_robustness.py sweeps many),
+    # and weights aren't baked into the executable.
     @jax.jit
-    def fwd_variants(img, txt, img_masks, txt_masks):
+    def fwd_variants(variables, img, txt, img_masks, txt_masks):
         b = img.shape[0]
         v = img_masks.shape[0]
         chunk = min(variant_chunk, v)
@@ -119,6 +122,7 @@ def transformer_robustness_sweep(
         # fresh random controls per batch, like the reference's in-loop sampling
         img_masks, txt_masks = build_variant_masks(rng, l_img, l_txt, n_repeats)
         out = fwd_variants(
+            variables,
             jnp.asarray(img),
             jnp.asarray(txt),
             jnp.asarray(img_masks),

@@ -107,12 +107,24 @@ def shard_state(state, mesh: Mesh, *, tp: bool = False):
 
 
 def put_batch_fn(mesh: Mesh):
-    """Returns a Trainer put_batch_fn sharding every batch leaf over 'data'."""
+    """Returns a Trainer put_batch_fn sharding every batch leaf over 'data'.
+
+    The final partial batch of an epoch (loaders keep remainders,
+    drop_last=False parity) may not divide the data-axis size; such batches
+    are placed REPLICATED instead — exact results, the DP speedup is simply
+    skipped for that one batch."""
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    n_data = mesh.shape["data"]
 
     def put(batch):
+        leaves = jax.tree_util.tree_leaves(batch)
+        divisible = all(
+            getattr(a, "shape", (0,))[0] % n_data == 0 for a in leaves
+        )
+        target = sh if divisible else rep
         return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, sh), batch
+            lambda a: jax.device_put(a, target), batch
         )
 
     return put

@@ -110,9 +110,14 @@ class FusionPredictor:
     ) -> Tuple[np.ndarray, dict]:
         """Probabilities + modality-sensitivity diagnostics (|dp| against
         image-only / text-only ablations)."""
+        if "ablate" in kw:
+            raise ValueError(
+                "predict_with_uncertainty computes its own ablations; "
+                "pass ablate= to predict() instead"
+            )
         full = self.predict(img, txt, **kw)
-        img_only = self.predict(img, txt, ablate="text", **{k: v for k, v in kw.items() if k != "ablate"})
-        txt_only = self.predict(img, txt, ablate="image", **{k: v for k, v in kw.items() if k != "ablate"})
+        img_only = self.predict(img, txt, ablate="text", **kw)
+        txt_only = self.predict(img, txt, ablate="image", **kw)
         return full, {
             "confidence": full.max(-1),
             "image_sensitivity": np.abs(full - txt_only).max(-1),

@@ -105,8 +105,11 @@ def load_pretrained_model(state_template_variables, checkpoint_path: str):
 
 
 def resume_train_state(state, checkpoint_path: str):
-    """Full resume: restores params, batch_stats AND optimizer state
-    (fixes the reference's optimizer-not-restored gap, ``train.py:269-278``)."""
+    """Full resume: restores params, batch_stats, optimizer state, the
+    micro-step counter and any pending gradient-accumulation buffer (fixes
+    the reference's optimizer-not-restored gap, ``train.py:269-278``)."""
+    import jax.numpy as jnp
+
     model_sd, opt_sd = load_weights(checkpoint_path)
     variables = {"params": state.params}
     if state.batch_stats is not None:
@@ -116,5 +119,17 @@ def resume_train_state(state, checkpoint_path: str):
     if state.batch_stats is not None:
         new = new.replace(batch_stats=restored_vars["batch_stats"])
     if opt_sd:
-        new = new.replace(opt_state=restore_into(state.opt_state, opt_sd))
+        if "opt_state" in opt_sd:  # full layout (opt_state/step/accum_grads)
+            new = new.replace(
+                opt_state=restore_into(state.opt_state, opt_sd["opt_state"]),
+                step=jnp.asarray(opt_sd["step"], jnp.int32),
+            )
+            if state.accum_grads is not None and "accum_grads" in opt_sd:
+                new = new.replace(
+                    accum_grads=restore_into(
+                        state.accum_grads, opt_sd["accum_grads"]
+                    )
+                )
+        else:  # legacy layout: bare optimizer pytree
+            new = new.replace(opt_state=restore_into(state.opt_state, opt_sd))
     return new

@@ -75,8 +75,10 @@ def build_train_step(
             loss_fn, has_aux=True
         )(state.params)
 
+        freeze_mask_fn = None
         if bundle.grad_mask_fn is not None and flags is not None:
             grads = bundle.grad_mask_fn(grads, flags)
+            freeze_mask_fn = bundle.grad_mask_fn
 
         new_batch_stats = (
             mutated.get("batch_stats") if isinstance(mutated, dict) else None
@@ -101,6 +103,8 @@ def build_train_step(
             def apply_branch(operand):
                 acc_grads, params, opt_state = operand
                 updates, new_opt = optimizer.update(acc_grads, opt_state, params)
+                if freeze_mask_fn is not None:
+                    updates = freeze_mask_fn(updates, flags)
                 new_params = jax.tree_util.tree_map(jnp.add, params, updates)
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, acc_grads)
                 return new_params, new_opt, zeros
@@ -116,6 +120,11 @@ def build_train_step(
             loss_reported = loss / accum
         else:
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            if freeze_mask_fn is not None:
+                # Frozen subtrees must stay bit-unchanged: torch skips
+                # grad-less params entirely, so mask weight-decay/momentum
+                # residuals out of the UPDATE too, not just the grads.
+                updates = freeze_mask_fn(updates, flags)
             new_params = jax.tree_util.tree_map(jnp.add, state.params, updates)
             new_accum = state.accum_grads
             loss_reported = loss

@@ -81,7 +81,10 @@ class Trainer:
         variables = {"params": self.state.params}
         if self.state.batch_stats is not None:
             variables["batch_stats"] = self.state.batch_stats
-        return variables, self.state.opt_state
+        opt = {"opt_state": self.state.opt_state, "step": self.state.step}
+        if self.state.accum_grads is not None:
+            opt["accum_grads"] = self.state.accum_grads
+        return variables, opt
 
     # ----------------------------------------------------------------------
     def eval_loop(
