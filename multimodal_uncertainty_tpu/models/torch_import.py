@@ -181,4 +181,31 @@ def import_mmbt_pretrained(
         rp, rs = convert_resnet_trunk(resnet_sd, resnet_layers)
         enc_p["img_encoder"]["model"].update(rp)
         v["batch_stats"]["enc"]["img_encoder"]["model"].update(rs)
+
+    _check_shapes(flax_variables["params"], v["params"], "params")
+    if "batch_stats" in flax_variables:
+        _check_shapes(
+            flax_variables["batch_stats"], v["batch_stats"], "batch_stats"
+        )
     return v
+
+
+def _check_shapes(template: Dict, merged: Dict, label: str, path: str = "") -> None:
+    """Merged pretrained weights must match the model's shapes exactly —
+    catches depth/width config mismatches at import time instead of at the
+    first apply."""
+    for key, t_val in template.items():
+        sub = f"{path}/{key}"
+        if key not in merged:
+            raise KeyError(f"{label}{sub} missing after pretrained merge")
+        m_val = merged[key]
+        if isinstance(t_val, dict):
+            _check_shapes(t_val, m_val, label, sub)
+        else:
+            t_shape = tuple(np.shape(t_val))
+            m_shape = tuple(np.shape(m_val))
+            if t_shape != m_shape:
+                raise ValueError(
+                    f"{label}{sub}: pretrained shape {m_shape} != model "
+                    f"shape {t_shape} (wrong config for this checkpoint?)"
+                )
