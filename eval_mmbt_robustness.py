@@ -39,6 +39,8 @@ def get_args(parser):
     parser.add_argument("--include_bn", type=int, default=True)
     parser.add_argument("--vocab_file", type=str, default=None)
     parser.add_argument("--sample_size", type=int, default=None)
+    parser.add_argument("--tiny", action="store_true",
+                        help="shrunken backbones for smoke tests")
 
 
 def main():
@@ -67,14 +69,27 @@ def main():
     )
     data = {"train": train, "val": val, "test": test}
 
-    setup = setup_mmbt(
-        n_classes=n_classes,
-        num_image_embeds=args.num_image_embeds,
-        bert_config=(
+    if args.tiny:
+        import dataclasses as _dc
+
+        bert_cfg = _dc.replace(
+            BertConfig.base(), hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+        )
+        resnet_layers = (1, 1, 1, 1)
+    else:
+        bert_cfg = (
             BertConfig.large()
             if args.bert_model == "bert-large-uncased"
             else BertConfig.base()
-        ),
+        )
+        resnet_layers = (3, 8, 36, 3)
+
+    setup = setup_mmbt(
+        n_classes=n_classes,
+        num_image_embeds=args.num_image_embeds,
+        bert_config=bert_cfg,
+        resnet_layers=resnet_layers,
         img_embed_pool_type=args.img_embed_pool_type,
         gradient_accumulation_steps=1,
         vocab_size=vocab.vocab_sz,
