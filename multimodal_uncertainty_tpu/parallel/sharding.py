@@ -4,12 +4,16 @@ Design (How-to-Scale recipe): pick a mesh, annotate shardings on the state
 and batch, let XLA insert collectives.
 
 * **DP**: batch P('data', ...); params replicated -> grad psum over 'data'.
-* **TP** (fusion/MIMO transformers): MLP and attention projections shard
-  over 'model' — c_fc kernel (D, 4D) -> P(None,'model'), c_proj (4D, D) ->
-  P('model', None), packed qkv in_proj (D, 3D) -> P(None,'model'), out_proj
-  (D, D) -> P('model', None). Activations stay P('data', None, None); XLA
-  turns the pair into an all-reduce-free megatron pattern with one psum per
-  block.
+* **TP** (fusion/MIMO transformers AND BERT/MMBT): MLP and attention
+  projections shard over 'model' in the megatron column->row pattern —
+  column-parallel (kernel P(None,'model'), bias P('model')): CLIP-stack
+  c_fc (D,4D) and packed qkv in_proj (D,3D); BERT query/key/value (D,D)
+  and intermediate_dense (D,4D). Row-parallel (kernel P('model',None),
+  bias replicated, added once after the reduce): CLIP c_proj/out_proj;
+  BERT attn_output_dense/output_dense. Activations stay
+  P('data', None, None); XLA turns each pair into one psum per block.
+  Embedding tables, LayerNorms, pooler, classifier heads and ResNet convs
+  stay replicated (they are small next to the transformer blocks).
 * **EP** (ensemble axis): the fused EnsembleHeads einsum (E, D, C) can shard
   E over 'model' when E is large; replicated by default (E<=4 here).
 """
@@ -29,23 +33,32 @@ def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+# Matched against the param's PARENT module name exactly (not substring:
+# BERT's "attn_output_dense" contains "output_dense" — substring matching
+# would misclassify the attention output projection as the MLP one).
+_COLUMN_PARALLEL = frozenset(
+    # CLIP stack (fusion / MIMO transformer)  |  BERT (MMBT path)
+    {"in_proj", "c_fc", "query", "key", "value", "intermediate_dense"}
+)
+_ROW_PARALLEL = frozenset(
+    {"out_proj", "c_proj", "attn_output_dense", "output_dense"}
+)
+
+
 def transformer_tp_rules(path_names, leaf) -> P:
     """PartitionSpec for one param given its path (tuple of str names)."""
-    joined = "/".join(path_names)
-    shape = getattr(leaf, "shape", ())
-    if "in_proj" in joined and path_names[-1] == "kernel":
-        return P(None, "model")
-    if "out_proj" in joined and path_names[-1] == "kernel":
+    if len(path_names) < 2:
+        return P()
+    parent, name = path_names[-2], path_names[-1]
+    if parent in _COLUMN_PARALLEL:
+        if name == "kernel":
+            return P(None, "model")
+        if name == "bias":
+            return P("model")
+    if parent in _ROW_PARALLEL and name == "kernel":
+        # bias stays replicated: in row-parallel layout it is added once
+        # after XLA's psum, not per-shard
         return P("model", None)
-    if "c_fc" in joined and path_names[-1] == "kernel":
-        return P(None, "model")
-    if "c_proj" in joined and path_names[-1] == "kernel":
-        return P("model", None)
-    if "in_proj" in joined and path_names[-1] == "bias":
-        return P("model")
-    if "c_fc" in joined and path_names[-1] == "bias":
-        return P("model")
-    del shape
     return P()
 
 

@@ -179,7 +179,17 @@ class ModelCheckpoint(Callback):
 
 
 class ProgressionCallback(Callback):
-    """Per-batch/epoch progress lines (reference ``src/callbacks.py:256-316``)."""
+    """Per-batch/epoch progress lines (reference ``src/callbacks.py:256-316``).
+
+    The per-batch logs carry *device* scalars (the trainer never syncs inside
+    the hot loop — ``training/trainer.py:1-10``); calling ``float()`` on them
+    every batch would reintroduce a per-batch host sync (~35 ms/dispatch on a
+    tunneled backend). The progress line therefore renders a cached metrics
+    string, refreshed (one device fetch) only every ``sync_every`` batches;
+    the epoch-end line always shows exact values (epoch granularity sync).
+    """
+
+    sync_every = 25
 
     def on_train_begin(self, logs):
         self.metrics = ["loss"] + list(self.trainer.metrics_names)
@@ -189,6 +199,7 @@ class ProgressionCallback(Callback):
     def on_epoch_begin(self, epoch, logs):
         self.step_times_sum = 0.0
         self.epoch = epoch
+        self._cached_metrics_str = ""
         sys.stdout.write("\rEpoch %d/%d" % (self.epoch, self.epochs))
         sys.stdout.flush()
 
@@ -201,7 +212,9 @@ class ProgressionCallback(Callback):
 
     def on_batch_end(self, batch, logs):
         self.step_times_sum += timeit.default_timer() - logs["batch_begin_time"]
-        metrics_str = self._metrics_string(logs)
+        if batch % self.sync_every == 1 or batch == self.steps:
+            self._cached_metrics_str = self._metrics_string(logs)
+        metrics_str = self._cached_metrics_str
         times_mean = self.step_times_sum / max(batch, 1)
         if self.steps is not None:
             remaining = times_mean * (self.steps - batch)
@@ -231,23 +244,29 @@ class ProgressionCallback(Callback):
 
 
 class ValidationProgressionCallback(Callback):
+    sync_every = 25  # see ProgressionCallback: avoid per-batch device sync
+
     def __init__(self, phase, metrics_names, steps=None):
         super().__init__()
         self.phase = phase
         self.steps = steps
         self.metrics = metrics_names
+        self._cached_metrics_str = ""
 
     def on_batch_begin(self, batch, logs):
         if batch == 1:
             self.step_times_sum = 0.0
+            self._cached_metrics_str = ""
 
     def on_batch_end(self, batch, logs):
         self.step_times_sum += timeit.default_timer() - logs["batch_begin_time"]
-        metrics_str = ", ".join(
-            "{}_{}: {:f}".format(self.phase, k, float(logs[k]))
-            for k in self.metrics
-            if logs.get(k) is not None
-        )
+        if batch % self.sync_every == 1 or batch == self.steps:
+            self._cached_metrics_str = ", ".join(
+                "{}_{}: {:f}".format(self.phase, k, float(logs[k]))
+                for k in self.metrics
+                if logs.get(k) is not None
+            )
+        metrics_str = self._cached_metrics_str
         times_mean = self.step_times_sum / max(batch, 1)
         if self.steps is not None:
             remaining = times_mean * (self.steps - batch)

@@ -103,6 +103,10 @@ class Trainer:
         )
 
         losses, metric_vals, sizes = [], [], []
+        # only hold per-batch preds across the epoch when something (AUROC /
+        # ECE) will actually consume them — otherwise that's device memory
+        # pinned for nothing on large eval sets
+        keep_preds = auc or ece
         preds_all, labels_all = [], []
         for batch_ind, (x, y) in zip(range(1, steps + 1), generator):
             batch_begin_time = timeit.default_timer()
@@ -114,8 +118,9 @@ class Trainer:
             losses.append(logs["loss"])
             metric_vals.append([logs[m] for m in self.metrics_names])
             sizes.append(size)
-            preds_all.append(preds)
-            labels_all.append(labels)
+            if keep_preds:
+                preds_all.append(preds)
+                labels_all.append(labels)
             if self.verbose:
                 callback.on_batch_end(
                     batch_ind,
