@@ -143,7 +143,303 @@ def bench_torch_cpu_baseline() -> float:
     return bb * BASELINE_STEPS / dt
 
 
+# ---------------------------------------------------------------------------
+# End-to-end benchmark incl. preprocessing (north star: BASELINE.json —
+# "Food-101 img+text end-to-end samples/sec/chip incl. preprocessing").
+# Measures the full pipeline: storage -> decode/tokenize/collate (host
+# workers + prefetch) -> host->device transfer -> jitted train step,
+# overlapped — plus a per-stage breakdown so the bottleneck is attributable.
+#
+# Honesty notes for THIS environment: the TPU is reached through a tunnel
+# whose host->device link moves ~4-7 MB/s (measured; a real v5e host moves
+# GB/s over PCIe), so on the tunnel the end-to-end number is transfer-bound.
+# The breakdown lines let the reader reconstruct the non-tunnel rate:
+# min(host_pipeline, device_step) once transfer is not the artifact.
+# ---------------------------------------------------------------------------
+
+
+def _cycle(loader):
+    while True:
+        for item in loader:
+            yield item
+
+
+def _synth_flava_packed(root: str, n: int, d: int = D, seed: int = 0):
+    """Packed shards at Hateful-Memes-realistic lengths, stored bf16
+    (pack_split dtype option: half the bytes of f32, lossless for a bf16
+    compute path)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    lis = rng.integers(150, LI + 1, size=n)
+    lts = rng.integers(30, LT + 1, size=n)
+    img = rng.normal(size=(int(lis.sum()), d)).astype(ml_dtypes.bfloat16)
+    txt = rng.normal(size=(int(lts.sum()), d)).astype(ml_dtypes.bfloat16)
+    np.save(os.path.join(root, "train_img.npy"), img)
+    np.save(os.path.join(root, "train_txt.npy"), txt)
+    np.save(os.path.join(root, "train_img_offsets.npy"),
+            np.concatenate([[0], np.cumsum(lis)]))
+    np.save(os.path.join(root, "train_txt_offsets.npy"),
+            np.concatenate([[0], np.cumsum(lts)]))
+    np.save(os.path.join(root, "train_labels.npy"),
+            rng.integers(0, N_CLASSES, size=n).astype(np.int64))
+
+
+def _synth_food101_raw(root: str, n: int, px: int = 384, seed: int = 0):
+    """jsonl + JPEGs (realistic ~VGA source size) + WordPiece vocab."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    words = ("spicy sweet fried baked grilled noodle rice burger pizza salad "
+             "cheese sauce tomato garlic pepper onion recipe dinner lunch").split()
+    rows = []
+    for i in range(n):
+        label = int(rng.integers(0, 5))
+        arr = (rng.normal(128, 40, size=(px, px, 3))).clip(0, 255).astype(np.uint8)
+        rel = f"images/train{i:05d}.jpg"
+        Image.fromarray(arr).save(os.path.join(root, rel), quality=85)
+        text = " ".join(words[int(rng.integers(0, len(words)))]
+                        for _ in range(int(rng.integers(8, 24))))
+        rows.append({"img": rel, "text": text, "label": f"dish_{label}"})
+    import json as _json
+
+    for phase in ("train", "dev", "test"):
+        with open(os.path.join(root, f"{phase}.jsonl"), "w") as f:
+            for r in (rows if phase == "train" else rows[: max(2, n // 8)]):
+                f.write(_json.dumps(r) + "\n")
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        for tok in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + sorted(set(words)):
+            f.write(tok + "\n")
+
+
+def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
+    """Shared measurement harness. Returns the breakdown dict."""
+    import time as _t
+
+    # 1) host pipeline alone (decode/tokenize/collate with prefetch)
+    it = _cycle(loader)
+    next(it)  # warm caches / thread pool
+    t0 = _t.perf_counter()
+    n_host = 0
+    for _ in range(steps):
+        x, y = next(it)
+        n_host += len(y)
+    host_sps = n_host / (_t.perf_counter() - t0)
+
+    # 2+3) resident step rate (chained, scalar-fetch barrier)
+    x, y = next(it)
+    step_sps, transfer_sps = resident_step(x, y)
+
+    # 4) overlapped end-to-end
+    it = _cycle(loader)
+    x, y = next(it)
+    float(put_and_step(x, y))  # warmup; barrier so t0 excludes its chain
+    t0 = _t.perf_counter()
+    n = 0
+    logs_last = None
+    for _ in range(steps):
+        x, y = next(it)
+        logs_last = put_and_step(x, y)
+        n += len(y)
+    float(logs_last)  # barrier: depends on the whole chain
+    e2e_sps = n / (_t.perf_counter() - t0)
+    return {
+        "host_pipeline_sps": round(host_sps, 2),
+        "transfer_sps": round(transfer_sps, 2),
+        "device_step_sps": round(step_sps, 2),
+        "end2end_sps": round(e2e_sps, 2),
+        "batch": batch,
+        "steps": steps,
+    }
+
+
+def bench_end2end_flava(batch=128, steps=5, workers=0):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.data.flava_encoded import (
+        PackedFlavaDataset,
+        collate_fn_flava,
+    )
+    from multimodal_uncertainty_tpu.data.loaders import MapLoader
+    from multimodal_uncertainty_tpu.training.steps import build_train_step
+    from multimodal_uncertainty_tpu.zoo import setup_flava
+
+    tmp = tempfile.mkdtemp(prefix="bench_flava_")
+    _synth_flava_packed(tmp, n=max(2 * batch, 256))
+    ds = PackedFlavaDataset(tmp, "train")
+    loader = MapLoader(ds, batch, collate_fn_flava, shuffle=True, seed=0,
+                       num_workers=workers, prefetch=2)
+    (img, txt), y = next(iter(loader))
+    li, lt = img.shape[1], txt.shape[1]
+
+    setup = setup_flava(
+        model_type="MIMO-shuffle-instance", n_classes=N_CLASSES, lr=1e-4,
+        n_epochs=100, steps_per_epoch=100, sample_shapes=((batch, li), (batch, lt)),
+        seed_key=jax.random.key(0), attn_impl="auto", dtype=jnp.bfloat16,
+    )
+    train_step = build_train_step(setup.bundle, setup.optimizer, donate=False)
+    state_box = [setup.state]
+    key_ctr = [0]
+
+    def put_and_step(x, yy):
+        key_ctr[0] += 1
+        im, tx = jax.device_put(x[0]), jax.device_put(x[1])
+        y_d = jax.device_put(np.asarray(yy))
+        state_box[0], logs = train_step(
+            state_box[0], (im, tx), y_d, jax.random.key(key_ctr[0]), None
+        )
+        return logs["loss"]
+
+    def resident_step(x, yy):
+        import time as _t
+
+        im, tx = jnp.asarray(x[0]), jnp.asarray(x[1])
+        y_d = jnp.asarray(np.asarray(yy))
+        st = state_box[0]
+        for i in range(2):  # warmup
+            st, logs = train_step(st, (im, tx), y_d, jax.random.key(900 + i), None)
+        float(logs["loss"])
+        t0 = _t.perf_counter()
+        for i in range(10):
+            st, logs = train_step(st, (im, tx), y_d, jax.random.key(950 + i), None)
+        float(logs["loss"])
+        step_sps = 10 * len(yy) / (_t.perf_counter() - t0)
+
+        red = jax.jit(lambda a, b: a.astype(jnp.float32).sum()
+                      + b.astype(jnp.float32).sum())
+        float(red(im, tx))  # compile
+        t0 = _t.perf_counter()
+        for _ in range(2):
+            float(red(jax.device_put(x[0]), jax.device_put(x[1])))
+        transfer_sps = 2 * len(yy) / (_t.perf_counter() - t0)
+        return step_sps, transfer_sps
+
+    out = _measure_pipeline(loader, put_and_step, resident_step, steps, batch)
+    out["bytes_per_batch_mb"] = round((img.nbytes + txt.nbytes) / 1e6, 1)
+    return out
+
+
+def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.data.food101 import get_food101
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.zoo import setup_mmbt
+    from multimodal_uncertainty_tpu.training.steps import build_train_step
+
+    tmp = tempfile.mkdtemp(prefix="bench_raw_")
+    _synth_food101_raw(tmp, n=max(2 * batch, 128))
+    train, _, _, n_classes, vocab = get_food101(
+        datapath=tmp, batch_size=batch, n_workers=workers, max_seq_len=512,
+        num_image_embeds=3,
+    )
+    if tiny:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(BertConfig.base(), hidden_size=64,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          intermediate_size=128)
+        resnet_layers = (1, 1, 1, 1)
+    else:
+        cfg, resnet_layers = BertConfig.base(), (3, 8, 36, 3)
+
+    (text, segment, mask, imgs), y = next(iter(train))
+    setup = setup_mmbt(
+        n_classes=n_classes, bert_config=cfg, resnet_layers=resnet_layers,
+        num_image_embeds=3, gradient_accumulation_steps=1,
+        vocab_size=vocab.vocab_sz, sample_txt_len=text.shape[1],
+        seed_key=jax.random.key(0), attn_impl="auto",
+        dtype=jnp.bfloat16 if not tiny else None,
+    )
+    train_step = build_train_step(setup.bundle, setup.optimizer, donate=False)
+    state_box = [setup.state]
+    key_ctr = [0]
+    flags = jnp.asarray([False, False])
+
+    def put_and_step(x, yy):
+        key_ctr[0] += 1
+        x_d = jax.tree_util.tree_map(jax.device_put, tuple(x))
+        y_d = jax.device_put(np.asarray(yy))
+        state_box[0], logs = train_step(
+            state_box[0], x_d, y_d, jax.random.key(key_ctr[0]), flags
+        )
+        return logs["loss"]
+
+    def resident_step(x, yy):
+        import time as _t
+
+        x_d = jax.tree_util.tree_map(jnp.asarray, tuple(x))
+        y_d = jnp.asarray(np.asarray(yy))
+        st = state_box[0]
+        for i in range(2):
+            st, logs = train_step(st, x_d, y_d, jax.random.key(900 + i), flags)
+        float(logs["loss"])
+        t0 = _t.perf_counter()
+        n_meas = 6
+        for i in range(n_meas):
+            st, logs = train_step(st, x_d, y_d, jax.random.key(950 + i), flags)
+        float(logs["loss"])
+        step_sps = n_meas * len(yy) / (_t.perf_counter() - t0)
+
+        red = jax.jit(lambda im: im.astype(jnp.float32).sum())
+        float(red(x_d[3]))
+        t0 = _t.perf_counter()
+        for _ in range(2):
+            float(red(jax.device_put(x[3])))
+        transfer_sps = 2 * len(yy) / (_t.perf_counter() - t0)
+        return step_sps, transfer_sps
+
+    out = _measure_pipeline(train, put_and_step, resident_step, steps, batch)
+    out["bytes_per_batch_mb"] = round(
+        sum(np.asarray(a).nbytes for a in (text, segment, mask, imgs)) / 1e6, 1
+    )
+    return out
+
+
+def _arg_after(flag, default):
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        if i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return default
+
+
+def main_end2end():
+    path = _arg_after("--end2end", "flava") or "flava"
+    if path.startswith("--"):
+        path = "flava"
+    workers = int(_arg_after("--workers", "0"))
+    tiny = "--tiny" in sys.argv
+    if path == "flava":
+        batch = int(_arg_after("--batch", "128"))
+        steps = int(_arg_after("--steps", "5"))
+        res = bench_end2end_flava(batch=batch, steps=steps, workers=workers)
+    else:
+        batch = int(_arg_after("--batch", "32"))
+        steps = int(_arg_after("--steps", "4"))
+        res = bench_end2end_raw(batch=batch, steps=steps, workers=workers,
+                                tiny=tiny)
+    print(json.dumps({
+        "metric": f"end2end_{path}_train_samples_per_sec_per_chip",
+        "value": res["end2end_sps"],
+        "unit": "samples/sec",
+        "vs_baseline": round(res["end2end_sps"] / CACHED_BASELINE_SPS, 2),
+        "breakdown": res,
+    }))
+
+
 def main():
+    if "--end2end" in sys.argv:
+        main_end2end()
+        return
     if "--remeasure-baseline" in sys.argv:
         baseline_sps = bench_torch_cpu_baseline()
     else:

@@ -96,13 +96,18 @@ def collate_fn_flava(
 
     TPU addition: pad lengths round up to ``pad_multiple`` so the number of
     distinct compiled shapes is bounded (per-batch exact-max padding would
-    trigger an XLA recompile for nearly every batch)."""
+    trigger an XLA recompile for nearly every batch).
+
+    Dtype-preserving: bf16-packed shards (see :func:`pack_split`) flow
+    through as bf16 — half the host->device transfer bytes, and the model
+    computes in bf16 anyway on TPU."""
     imgs, txts, labels = zip(*batch)
     li = _round_up(max(i.shape[0] for i in imgs), pad_multiple)
     lt = _round_up(max(t.shape[0] for t in txts), pad_multiple)
     d = imgs[0].shape[-1]
-    img_out = np.zeros((len(batch), li, d), np.float32)
-    txt_out = np.zeros((len(batch), lt, d), np.float32)
+    dtype = imgs[0].dtype
+    img_out = np.zeros((len(batch), li, d), dtype)
+    txt_out = np.zeros((len(batch), lt, d), dtype)
     for n, (i, t) in enumerate(zip(imgs, txts)):
         img_out[n, : i.shape[0]] = i
         txt_out[n, : t.shape[0]] = t
@@ -114,17 +119,23 @@ def collate_fn_flava(
 # ---------------------------------------------------------------------------
 
 
-def pack_split(dataset: FlavaEncodedDataset, out_dir: str, phase: str) -> None:
+def pack_split(
+    dataset: FlavaEncodedDataset, out_dir: str, phase: str, dtype=np.float32
+) -> None:
     """Convert a per-file split into consolidated shards:
     {phase}_img.npy (rows, concatenated), {phase}_img_offsets.npy, same for
-    text, plus {phase}_labels.npy."""
+    text, plus {phase}_labels.npy.
+
+    ``dtype=ml_dtypes.bfloat16`` halves shard size and host->device transfer
+    bytes; on TPU the model computes in bf16 regardless, so storing the
+    precomputed FLAVA embeddings at bf16 loses nothing downstream."""
     os.makedirs(out_dir, exist_ok=True)
     img_parts, txt_parts, labels = [], [], []
     img_off, txt_off = [0], [0]
     for i in range(len(dataset)):
         img, txt, label = dataset[i]
-        img_parts.append(np.asarray(img, np.float32))
-        txt_parts.append(np.asarray(txt, np.float32))
+        img_parts.append(np.asarray(img).astype(dtype))
+        txt_parts.append(np.asarray(txt).astype(dtype))
         labels.append(label)
         img_off.append(img_off[-1] + img.shape[0])
         txt_off.append(txt_off[-1] + txt.shape[0])
@@ -135,12 +146,26 @@ def pack_split(dataset: FlavaEncodedDataset, out_dir: str, phase: str) -> None:
     np.save(os.path.join(out_dir, f"{phase}_labels.npy"), np.asarray(labels, np.int64))
 
 
+def _as_numeric(arr: np.ndarray) -> np.ndarray:
+    """npy round-trips of ml_dtypes.bfloat16 come back as raw void ('|V2');
+    re-view them as bfloat16 (zero-copy, works on memmaps)."""
+    if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+        import ml_dtypes
+
+        return arr.view(ml_dtypes.bfloat16)
+    return arr
+
+
 class PackedFlavaDataset:
     """Memory-mapped consolidated shards; O(1) open, zero-copy row access."""
 
     def __init__(self, shard_dir: str, phase: str):
-        self.img = np.load(os.path.join(shard_dir, f"{phase}_img.npy"), mmap_mode="r")
-        self.txt = np.load(os.path.join(shard_dir, f"{phase}_txt.npy"), mmap_mode="r")
+        self.img = _as_numeric(
+            np.load(os.path.join(shard_dir, f"{phase}_img.npy"), mmap_mode="r")
+        )
+        self.txt = _as_numeric(
+            np.load(os.path.join(shard_dir, f"{phase}_txt.npy"), mmap_mode="r")
+        )
         self.img_off = np.load(os.path.join(shard_dir, f"{phase}_img_offsets.npy"))
         self.txt_off = np.load(os.path.join(shard_dir, f"{phase}_txt_offsets.npy"))
         self.labels = np.load(os.path.join(shard_dir, f"{phase}_labels.npy"))

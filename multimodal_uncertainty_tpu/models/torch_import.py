@@ -190,6 +190,138 @@ def import_mmbt_pretrained(
     return v
 
 
+def convert_vilt(sd: Dict, num_layers: int = 12) -> Dict:
+    """HF torch ``ViltForImagesAndTextClassification`` state dict ->
+    our flax param tree (``models/vilt.py``).
+
+    Name map (HF -> ours):
+      vilt.embeddings.text_embeddings.{word,position,token_type}_embeddings
+        -> vilt/{word,position,token_type}_embeddings
+      vilt.embeddings.text_embeddings.LayerNorm -> vilt/emb_LayerNorm
+      vilt.embeddings.token_type_embeddings (modality table)
+        -> vilt/modality_type_embeddings
+      vilt.embeddings.cls_token / position_embeddings
+        -> vilt/image_cls / vilt/image_position_embeddings
+      vilt.embeddings.patch_embeddings.projection -> vilt/patch_embed (HWIO)
+      vilt.encoder.layer.{i}.attention.attention.{q,k,v} -> packed block_{i}/qkv
+      vilt.encoder.layer.{i}.attention.output.dense -> block_{i}/proj
+      vilt.encoder.layer.{i}.layernorm_{before,after} -> block_{i}/ln_{1,2}
+      vilt.encoder.layer.{i}.{intermediate,output}.dense -> block_{i}/{fc1,fc2}
+      vilt.layernorm -> vilt/ln_post ; vilt.pooler.dense -> vilt/pooler
+      classifier.{0,1,3} -> cls_fc / cls_ln / cls_out
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    e = "vilt.embeddings."
+    vilt: Dict = {
+        "word_embeddings": sd[e + "text_embeddings.word_embeddings.weight"],
+        "position_embeddings": sd[e + "text_embeddings.position_embeddings.weight"],
+        "token_type_embeddings": sd[
+            e + "text_embeddings.token_type_embeddings.weight"
+        ],
+        "emb_LayerNorm": {
+            "weight": sd[e + "text_embeddings.LayerNorm.weight"],
+            "bias": sd[e + "text_embeddings.LayerNorm.bias"],
+        },
+        "modality_type_embeddings": sd[e + "token_type_embeddings.weight"],
+        "image_cls": sd[e + "cls_token"],
+        "image_position_embeddings": sd[e + "position_embeddings"][0],
+        "patch_embed": {
+            "kernel": _conv(sd[e + "patch_embeddings.projection.weight"]),
+            "bias": sd[e + "patch_embeddings.projection.bias"],
+        },
+    }
+    for i in range(num_layers):
+        p = f"vilt.encoder.layer.{i}."
+        qkv_w = np.concatenate(
+            [
+                _t(sd[p + f"attention.attention.{n}.weight"])
+                for n in ("query", "key", "value")
+            ],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [
+                sd[p + f"attention.attention.{n}.bias"]
+                for n in ("query", "key", "value")
+            ]
+        )
+        vilt[f"block_{i}"] = {
+            "ln_1": {
+                "weight": sd[p + "layernorm_before.weight"],
+                "bias": sd[p + "layernorm_before.bias"],
+            },
+            "qkv": {"kernel": qkv_w, "bias": qkv_b},
+            "proj": {
+                "kernel": _t(sd[p + "attention.output.dense.weight"]),
+                "bias": sd[p + "attention.output.dense.bias"],
+            },
+            "ln_2": {
+                "weight": sd[p + "layernorm_after.weight"],
+                "bias": sd[p + "layernorm_after.bias"],
+            },
+            "fc1": {
+                "kernel": _t(sd[p + "intermediate.dense.weight"]),
+                "bias": sd[p + "intermediate.dense.bias"],
+            },
+            "fc2": {
+                "kernel": _t(sd[p + "output.dense.weight"]),
+                "bias": sd[p + "output.dense.bias"],
+            },
+        }
+    vilt["ln_post"] = {
+        "weight": sd["vilt.layernorm.weight"],
+        "bias": sd["vilt.layernorm.bias"],
+    }
+    vilt["pooler"] = {
+        "kernel": _t(sd["vilt.pooler.dense.weight"]),
+        "bias": sd["vilt.pooler.dense.bias"],
+    }
+    params: Dict = {"vilt": vilt}
+    # Classification head exists only on fine-tuned checkpoints; the
+    # reference's dandelin/vilt-b32-mlm has none (head trains from scratch).
+    if "classifier.0.weight" in sd:
+        params["cls_fc"] = {
+            "kernel": _t(sd["classifier.0.weight"]),
+            "bias": sd["classifier.0.bias"],
+        }
+        params["cls_ln"] = {
+            "weight": sd["classifier.1.weight"],
+            "bias": sd["classifier.1.bias"],
+        }
+        params["cls_out"] = {
+            "kernel": _t(sd["classifier.3.weight"]),
+            "bias": sd["classifier.3.bias"],
+        }
+    return params
+
+
+def import_vilt_pretrained(
+    flax_variables: Dict, sd: Dict, num_layers: int = 12
+) -> Dict:
+    """Merge a pretrained HF ViLT state dict into an initialized variable
+    tree (random init stays for parts absent from the checkpoint, e.g. the
+    classifier head on mlm checkpoints). Accepts both bare ``ViltModel``
+    dicts (keys start 'embeddings.') and classification dicts ('vilt.')."""
+    import copy
+
+    if not any(k.startswith("vilt.") for k in sd):
+        sd = {f"vilt.{k}" if not k.startswith("classifier.") else k: v
+              for k, v in sd.items()}
+    v = {"params": copy.deepcopy(flax_variables["params"])}
+    converted = convert_vilt(sd, num_layers)
+
+    def merge(dst, src):
+        for k, s in src.items():
+            if isinstance(s, dict):
+                merge(dst[k], s)
+            else:
+                dst[k] = s
+
+    merge(v["params"], converted)
+    _check_shapes(flax_variables["params"], v["params"], "params")
+    return v
+
+
 def _check_shapes(template: Dict, merged: Dict, label: str, path: str = "") -> None:
     """Merged pretrained weights must match the model's shapes exactly —
     catches depth/width config mismatches at import time instead of at the

@@ -10,10 +10,19 @@ modality-type embeddings; a first-token tanh pooler feeds the HF-style
 2-layer classification head. Like HF's model it computes loss+logits
 internally from ``labels``.
 
-Documented deviations from HF ViLT: fixed patch grid (no pixel_mask-driven
-token resampling/interpolation — pixel_mask instead becomes a boolean patch
-keep-mask), and weights train from scratch or import via a converter rather
-than ``from_pretrained`` (no network in this environment).
+The compute graph matches HF exactly for the full-pixel-mask single-image
+case (the reference's configuration): BERT-style text embeddings with their
+LayerNorm, a separate modality-type table (text=0, image=1), ViT pre-LN
+blocks with eps 1e-12, final LayerNorm, first-token tanh pooler, and the
+Linear->LayerNorm->GELU->Linear classifier head sized hidden*num_images.
+Pretrained ``dandelin/vilt-b32-*`` weights import via
+:func:`models.torch_import.import_vilt_pretrained`.
+
+Documented deviation from HF ViLT: fixed patch grid (no pixel_mask-driven
+token resampling / bilinear position interpolation — pixel_mask instead
+becomes a boolean patch keep-mask). With a full pixel_mask (all real
+pixels, the single-image reference path) HF's resampling is the identity
+and the two models agree numerically.
 """
 from __future__ import annotations
 
@@ -41,7 +50,9 @@ class ViltConfig:
     image_size: int = 384
     patch_size: int = 32
     num_labels: int = 2
+    num_images: int = 1
     dropout: float = 0.0
+    layer_norm_eps: float = 1e-12
     dtype: str = "float32"  # "bfloat16" for speed (params stay fp32)
 
     @staticmethod
@@ -65,7 +76,7 @@ class ViTBlock(nn.Module):
         b, s, d = x.shape
         h = c.num_attention_heads
         dh = d // h
-        y = LayerNormFP32(name="ln_1")(x)
+        y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_1")(x)
         qkv = Linear(3 * d, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -77,7 +88,7 @@ class ViTBlock(nn.Module):
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
         x = x + Linear(d, name="proj")(attn)
-        y = LayerNormFP32(name="ln_2")(x)
+        y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_2")(x)
         y = Linear(c.intermediate_size, name="fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dropout(c.dropout, deterministic=not train)(y)
@@ -104,13 +115,18 @@ class ViltModel(nn.Module):
         b, lt = input_ids.shape
         init = nn.initializers.normal(stddev=0.02)
 
-        # ---- text embeddings (BERT-style) ---------------------------------
+        # ---- text embeddings (BERT-style, incl. their LayerNorm: HF
+        # TextEmbeddings = word+pos+type -> LN -> dropout) -------------------
         word = self.param("word_embeddings", init, (c.vocab_size, c.hidden_size))
         pos = self.param(
             "position_embeddings", init, (c.max_position_embeddings, c.hidden_size)
         )
-        tok = self.param("token_type_embeddings", init, (2, c.hidden_size))
-        txt = word[input_ids] + pos[jnp.arange(lt)[None]] + tok[token_type_ids * 0]
+        tok = self.param(
+            "token_type_embeddings", init, (c.type_vocab_size, c.hidden_size)
+        )
+        txt = word[input_ids] + pos[jnp.arange(lt)[None]] + tok[token_type_ids]
+        txt = LayerNormFP32(eps=c.layer_norm_eps, name="emb_LayerNorm")(txt)
+        txt = nn.Dropout(c.dropout, deterministic=not train)(txt)
 
         # ---- image patch embeddings ---------------------------------------
         # pixel_values arrives NCHW (HF convention) or NHWC; normalize to NHWC
@@ -137,8 +153,15 @@ class ViltModel(nn.Module):
             [jnp.broadcast_to(img_cls, (b, 1, c.hidden_size)), img], axis=1
         )
         img = img + img_pos[None]
-        img = img + tok[jnp.ones((), jnp.int32)][None, None]  # modality type 1
-        txt = txt  # modality type 0 is tok[0] via token_type_ids*0 above
+        img = nn.Dropout(c.dropout, deterministic=not train)(img)
+
+        # ---- modality-type embeddings (HF ViltEmbeddings PART 3: a table
+        # SEPARATE from the text token-type table; text=0, image=1) ----------
+        modality = self.param(
+            "modality_type_embeddings", init, (2, c.hidden_size)
+        )
+        txt = txt + modality[0][None, None]
+        img = img + modality[1][None, None]
 
         x = jnp.concatenate([txt, img], axis=1)
         if c.dtype == "bfloat16":
@@ -160,10 +183,11 @@ class ViltModel(nn.Module):
             axis=1,
         )
 
-        x = LayerNormFP32(name="ln_pre")(x)
+        # HF ViLT has no pre-LN on the embeddings; blocks are pre-LN and the
+        # encoder output gets one final LayerNorm before the pooler.
         for i in range(c.num_hidden_layers):
             x = ViTBlock(c, self.attn_impl, name=f"block_{i}")(x, mask, train=train)
-        x = LayerNormFP32(name="ln_post")(x)
+        x = LayerNormFP32(eps=c.layer_norm_eps, name="ln_post")(x)
         pooled = jnp.tanh(Linear(c.hidden_size, name="pooler")(x[:, 0]))
         return x, pooled
 
@@ -186,8 +210,10 @@ class ViltForImagesAndTextClassification(nn.Module):
             batch.get("pixel_mask"),
             train=train,
         )
-        h = Linear(c.hidden_size * 2, name="cls_fc")(pooled)
-        h = LayerNormFP32(name="cls_ln")(h)
+        # HF head: Linear(H*num_images -> H*num_images) -> LN -> GELU ->
+        # Linear(-> num_labels); reference runs num_images=1 (train.py:166-169)
+        h = Linear(c.hidden_size * c.num_images, name="cls_fc")(pooled)
+        h = LayerNormFP32(eps=1e-5, name="cls_ln")(h)  # torch nn.LayerNorm default
         h = jax.nn.gelu(h, approximate=False)
         logits = Linear(c.num_labels, name="cls_out")(h)
         loss = None

@@ -380,6 +380,7 @@ def setup_vilt(
     gradient_accumulation_steps: int = 1,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    pretrained_vilt_sd=None,
 ) -> Setup:
     from multimodal_uncertainty_tpu.models.vilt import (
         ViltConfig,
@@ -420,6 +421,16 @@ def setup_vilt(
         "pixel_mask": jnp.ones((b, cfg.image_size, cfg.image_size), jnp.int32),
     }
     variables = model.init({"params": key}, sample_x, train=False)
+    if pretrained_vilt_sd is not None:
+        # reference parity: from_pretrained("dandelin/vilt-b32-mlm")
+        # (train.py:166-169); mlm checkpoints leave the head random-init
+        from multimodal_uncertainty_tpu.models.torch_import import (
+            import_vilt_pretrained,
+        )
+
+        variables = import_vilt_pretrained(
+            variables, pretrained_vilt_sd, num_layers=cfg.num_hidden_layers
+        )
     opt_state = optimizer.init(variables["params"])
     state = TrainState(
         params=variables["params"],

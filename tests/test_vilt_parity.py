@@ -1,0 +1,185 @@
+"""Numerics parity: our flax ViLT vs HuggingFace torch ViLT.
+
+Instantiates a small random HF ``ViltForImagesAndTextClassification`` (no
+network), converts its state dict with ``import_vilt_pretrained``, and
+checks the classification logits match on random image+text inputs —
+validating both the model math (text-embedding LN, modality-type table,
+pre-LN ViT blocks, final LN, pooler, 4-stage head) and the weight
+converter used for ``--vilt_weights`` pretrained import
+(reference: ``train.py:166-169`` ``from_pretrained("dandelin/vilt-b32-mlm")``).
+
+Parity holds for the full-pixel-mask single-image case: there HF's
+pixel_mask-driven patch resampling reduces to a (random-order) identity,
+and the network is permutation-invariant in patch order for pooled
+outputs.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from multimodal_uncertainty_tpu.models.torch_import import (
+    convert_vilt,
+    import_vilt_pretrained,
+)
+from multimodal_uncertainty_tpu.models.vilt import (
+    ViltConfig,
+    ViltForImagesAndTextClassification,
+)
+
+
+def _tiny_pair(num_labels=3):
+    from transformers import ViltConfig as HFViltConfig
+    from transformers import (
+        ViltForImagesAndTextClassification as HFVilt,
+    )
+
+    hf_cfg = HFViltConfig(
+        vocab_size=99,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=37,
+        max_position_embeddings=40,
+        type_vocab_size=2,
+        modality_type_vocab_size=2,
+        image_size=64,
+        patch_size=32,
+        num_images=1,
+        num_labels=num_labels,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = HFVilt(hf_cfg)
+    hf.eval()
+
+    cfg = ViltConfig(
+        vocab_size=99,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=37,
+        max_position_embeddings=40,
+        image_size=64,
+        patch_size=32,
+        num_labels=num_labels,
+        num_images=1,
+        dropout=0.0,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    return hf, model, cfg
+
+
+def _batch(b=2, lt=7, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "input_ids": rng.integers(0, 99, size=(b, lt)).astype(np.int64),
+        "attention_mask": np.concatenate(
+            [np.ones((b, lt - 2), np.int64), np.asarray([[1, 1], [0, 0]])], axis=1
+        ),
+        "token_type_ids": np.zeros((b, lt), np.int64),
+        "pixel_values": rng.normal(size=(b, 1, 3, size, size)).astype(np.float32),
+        "pixel_mask": np.ones((b, 1, size, size), np.int64),
+    }
+
+
+def test_vilt_matches_huggingface():
+    hf, model, cfg = _tiny_pair()
+    batch = _batch()
+
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(batch["input_ids"]),
+            attention_mask=torch.tensor(batch["attention_mask"]),
+            token_type_ids=torch.tensor(batch["token_type_ids"]),
+            pixel_values=torch.tensor(batch["pixel_values"]),
+            pixel_mask=torch.tensor(batch["pixel_mask"]),
+        )
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    variables = import_vilt_pretrained(variables, sd, num_layers=2)
+    out = model.apply(variables, jb, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out.logits), hf_out.logits.numpy(), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_vilt_loss_matches_huggingface():
+    hf, model, cfg = _tiny_pair()
+    batch = _batch(seed=3)
+    labels = np.asarray([0, 2], np.int64)
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(batch["input_ids"]),
+            attention_mask=torch.tensor(batch["attention_mask"]),
+            token_type_ids=torch.tensor(batch["token_type_ids"]),
+            pixel_values=torch.tensor(batch["pixel_values"]),
+            pixel_mask=torch.tensor(batch["pixel_mask"]),
+            labels=torch.tensor(labels),
+        )
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jb["labels"] = jnp.asarray(labels)
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    variables = import_vilt_pretrained(variables, sd, num_layers=2)
+    out = model.apply(variables, jb, train=False)
+    np.testing.assert_allclose(float(out.loss), float(hf_out.loss), atol=2e-5)
+
+
+def test_convert_vilt_headless_checkpoint():
+    """mlm checkpoints carry no classifier head: converter must leave the
+    random-init head in place and still merge the trunk."""
+    hf, model, cfg = _tiny_pair()
+    sd = {
+        k: v.numpy()
+        for k, v in hf.state_dict().items()
+        if not k.startswith("classifier.")
+    }
+    jb = {k: jnp.asarray(v) for k, v in _batch().items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    head_before = np.asarray(variables["params"]["cls_fc"]["kernel"])
+    merged = import_vilt_pretrained(variables, sd, num_layers=2)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["cls_fc"]["kernel"]), head_before
+    )
+    # trunk DID change
+    assert not np.allclose(
+        np.asarray(merged["params"]["vilt"]["word_embeddings"]),
+        np.asarray(variables["params"]["vilt"]["word_embeddings"]),
+    )
+
+
+def test_convert_vilt_bare_viltmodel_keys():
+    """Bare ViltModel state dicts (keys without the 'vilt.' prefix) are
+    accepted too."""
+    hf, model, cfg = _tiny_pair()
+    sd = {
+        k[len("vilt."):]: v.numpy()
+        for k, v in hf.state_dict().items()
+        if k.startswith("vilt.")
+    }
+    jb = {k: jnp.asarray(v) for k, v in _batch().items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    merged = import_vilt_pretrained(variables, sd, num_layers=2)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["vilt"]["pooler"]["kernel"]),
+        hf.state_dict()["vilt.pooler.dense.weight"].numpy().T,
+    )
+
+
+def test_convert_vilt_wrong_config_raises():
+    hf, model, cfg = _tiny_pair()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    wrong = dataclasses.replace(cfg, hidden_size=64, num_attention_heads=4)
+    wrong_model = ViltForImagesAndTextClassification(config=wrong, attn_impl="xla")
+    jb = {k: jnp.asarray(v) for k, v in _batch().items()}
+    variables = wrong_model.init({"params": jax.random.key(0)}, jb, train=False)
+    with pytest.raises((ValueError, KeyError)):
+        import_vilt_pretrained(variables, sd, num_layers=2)

@@ -78,6 +78,9 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="local torch state dict for BERT pretrained init")
     parser.add_argument("--resnet_weights", type=str, default=None,
                         help="local torch state dict for ResNet-152 init")
+    parser.add_argument("--vilt_weights", type=str, default=None,
+                        help="local torch state dict for ViLT pretrained init "
+                             "(reference: dandelin/vilt-b32-mlm, train.py:166)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
@@ -156,6 +159,17 @@ def main():
         args.attn_impl = "xla"
     print(args)
 
+    def load_sd(path):
+        if path is None:
+            return None
+        import torch
+
+        return {
+            k: v.numpy()
+            for k, v in torch.load(path, map_location="cpu",
+                                   weights_only=True).items()
+        }
+
     if args.framework == "mmbt":
         assert args.dataset == "food101", "MMBT is only supported for food101"
         train, valid, test, n_classes, vocab = get_food101(
@@ -171,17 +185,6 @@ def main():
         )
         args.n_classes = n_classes
         total_steps = len(train) / args.gradient_accumulation_steps * args.n_epochs
-
-        def load_sd(path):
-            if path is None:
-                return None
-            import torch
-
-            return {
-                k: v.numpy()
-                for k, v in torch.load(path, map_location="cpu",
-                                       weights_only=True).items()
-            }
 
         from multimodal_uncertainty_tpu.models.bert import BertConfig
 
@@ -243,6 +246,7 @@ def main():
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             seed_key=root_key,
             attn_impl=args.attn_impl,
+            pretrained_vilt_sd=load_sd(args.vilt_weights),
         )
     elif args.framework == "flava":
         train, valid, test = flava_encoded.get_dataset_flava(args, args.datapath)
