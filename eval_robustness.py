@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def get_args(parser):
     parser.add_argument("--checkpoint_path", type=str, required=True)
+    # Deliberate asymmetry matching the reference: this eval accepts all six
+    # strategies while train.py's --model_type offers only the multimodal
+    # subset (MIMO-shuffle-view/-all and weight-sharing are fmnist-only,
+    # trained via train_fashionmnist.py). Do not "fix" by narrowing.
     parser.add_argument("--model_type", type=str, default="Vanilla",
                         choices=["Vanilla", "MIMO-shuffle-instance",
                                  "MIMO-shuffle-view", "MultiHead",

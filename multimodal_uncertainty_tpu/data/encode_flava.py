@@ -21,6 +21,18 @@ import numpy as np
 from multimodal_uncertainty_tpu.data.flava_encoded import read_jsonl
 
 
+def _load_flava(model_name_or_path: str):
+    """Load (processor, model). Split out so tests can inject a stub
+    (the transformers lazy module resists monkeypatching in this env)."""
+    from transformers import FlavaModel, FlavaProcessor
+
+    processor = FlavaProcessor.from_pretrained(
+        model_name_or_path, local_files_only=True
+    )
+    model = FlavaModel.from_pretrained(model_name_or_path, local_files_only=True)
+    return processor, model.eval()
+
+
 def encoding_with_flava(
     datapath: str,
     phase: str,
@@ -41,13 +53,8 @@ def encoding_with_flava(
     """
     import torch
     from PIL import Image
-    from transformers import FlavaModel, FlavaProcessor
 
-    processor = FlavaProcessor.from_pretrained(
-        model_name_or_path, local_files_only=True
-    )
-    model = FlavaModel.from_pretrained(model_name_or_path, local_files_only=True)
-    model.eval()
+    processor, model = _load_flava(model_name_or_path)
 
     rows = read_jsonl(os.path.join(datapath, f"{phase}.jsonl"))
     emb_dir = os.path.join(datapath, "flava_embeds")

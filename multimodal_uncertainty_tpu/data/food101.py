@@ -123,7 +123,16 @@ def _pil_from_array(arr):
 def collate_fn(batch, pad_multiple: int = 32):
     """Left-aligned padded text + mask, stacked uint8 images
     (reference ``src/dataset.py:420-438``). Pad length rounds up to
-    ``pad_multiple`` to bound the number of compiled shapes."""
+    ``pad_multiple`` to bound the number of compiled shapes.
+
+    Return order is (text, segment, mask, imgs) and the model consumes
+    (txt, mask, segment, img) — the reference has the same transposition
+    (``src/framework.py:175`` passes collate output positionally into
+    ``forward(txt, mask, segment, img)``), and it is HARMLESS there and
+    here because segment and mask are numerically identical tensors: every
+    real text token has segment id 1 (``src/dataset.py:399-403``) and mask
+    1, padding is 0 in both. Preserved for bit-parity; do not "fix" one
+    side without the other."""
     lens = [len(row[0]) for row in batch]
     bsz = len(batch)
     max_seq_len = ((max(lens) + pad_multiple - 1) // pad_multiple) * pad_multiple

@@ -4,10 +4,11 @@ The fusion-transformer attention is the hot op named in the project's north
 star. Sequences in this workload are short (<=512 tokens: ~197 FLAVA image
 patches + <=512 text tokens, reference ``train.py:87``), so rather than a
 streaming flash-attention we use a *whole-sequence* fused kernel: one grid
-step per (batch, head) keeps Q, K, V and the S x S score matrix in VMEM,
-computing QK^T -> mask -> softmax -> PV in a single pass with no HBM round
-trips for the intermediates. The backward pass recomputes probabilities in
-XLA (cheap at these sizes) via a custom VJP.
+step per (batch, head-group) keeps Q, K, V and the S x S score matrix in
+VMEM, computing QK^T -> mask -> softmax -> PV in a single pass with no HBM
+round trips for the intermediates. The backward pass is a fused Pallas
+kernel too (custom VJP, ``_attention_bwd_kernel`` below): it recomputes the
+probabilities in VMEM and emits dQ/dK/dV in one pass.
 
 All logits/softmax math runs in fp32 regardless of input dtype (parity with
 the reference's fp16-safe LayerNorm philosophy, ``src/model.py:174-180``).

@@ -137,3 +137,124 @@ def test_epoch_wise_analysis_roundtrip(tmp_path):
     full = results[results.variants == "full"].set_index("epoch").AUC
     assert full[2] >= full[1] > 0.8  # stronger boost -> higher AUC
     assert set(corr.columns) == {"image", "text"}
+
+
+# ---------------------------------------------------------------------------
+# Figure parity tail (reference notebooks/utils.py:37-144,170-281 +
+# hateful_meme_learning_curve.py:32-77): every figure renders headless (Agg)
+# from synthetic artifacts.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dp_outcomes():
+    rng = np.random.default_rng(3)
+    s, r = 30, 5
+    labels = rng.integers(0, 2, size=s)
+    ori = rng.random(s)
+    image = ori + rng.normal(0, 0.1, s)
+    text = ori + rng.normal(0, 0.2, s)
+    image_corr = ori[:, None] + rng.normal(0, 0.1, (s, r))
+    text_corr = ori[:, None] + rng.normal(0, 0.2, (s, r))
+    return labels, ori, image, text, image_corr, text_corr
+
+
+def test_histogram_by_group_renders(tmp_path, dp_outcomes):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from multimodal_uncertainty_tpu.analysis.utils import histogram_by_group
+
+    out = tmp_path / "hist.png"
+    histogram_by_group(*dp_outcomes, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_violin_and_scatter_axes_render(tmp_path, dp_outcomes):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        scatter_plot_instance_level,
+        violin_plot_by_group,
+    )
+
+    fig, axs = plt.subplots(1, 2)
+    violin_plot_by_group(axs[0], *dp_outcomes)
+    scatter_plot_instance_level(axs[1], *dp_outcomes)
+    fig.savefig(tmp_path / "pair.png")
+    plt.close(fig)
+    assert (tmp_path / "pair.png").stat().st_size > 0
+
+
+def test_plot_correlation_and_performance_renders(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import pandas as pd
+
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        plot_correlation_and_performance,
+    )
+
+    epochs = np.arange(1, 6)
+    corr = pd.DataFrame(
+        {"image": np.linspace(0.2, 0.8, 5), "text": np.linspace(-0.1, -0.6, 5)},
+        index=epochs,
+    )
+    out = tmp_path / "corr.png"
+    plot_correlation_and_performance(
+        corr, np.linspace(60, 80, 5), np.linspace(50, 70, 5),
+        np.linspace(40, 60, 5), "ACC", save_path=str(out),
+    )
+    assert out.exists() and out.stat().st_size > 0
+
+
+def _fake_histories(root, dataset, experiments, epochs=4, auc=True):
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    for exp in experiments:
+        d = root / dataset / exp
+        d.mkdir(parents=True)
+        cols = {
+            "epoch": np.arange(1, epochs + 1),
+            "loss": rng.random(epochs) + 1,
+            "val_loss": rng.random(epochs) + 1,
+            "test_loss": rng.random(epochs) + 1,
+            "acc": rng.random(epochs) * 100,
+            "val_acc": rng.random(epochs) * 100,
+            "test_acc": rng.random(epochs) * 100,
+        }
+        if auc:
+            cols["val_auc"] = rng.random(epochs)
+            cols["test_auc"] = rng.random(epochs)
+        pd.DataFrame(cols).to_csv(d / "history.csv", index=False)
+
+
+def test_draw_learning_curves_grid_and_max_csv(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        draw_learning_curves,
+        max_metric_csv,
+    )
+
+    exps = ["Vanilla", "MultiHead"]
+    _fake_histories(tmp_path, "hatefulmeme", exps)
+    frame = draw_learning_curves(
+        exps, dataset="hatefulmeme", results_dir=str(tmp_path),
+        save_dir=str(tmp_path / "figs"),
+    )
+    assert frame is not None and set(frame["model_type"]) == set(exps)
+    pngs = list((tmp_path / "figs").glob("*.png"))
+    assert pngs and pngs[0].stat().st_size > 0
+
+    table = max_metric_csv(frame, str(tmp_path / "perf.csv"))
+    assert (tmp_path / "perf.csv").exists()
+    # max is per model_type over epochs
+    v = frame[frame.model_type == "Vanilla"]["val_acc"].max()
+    assert abs(table.loc["Vanilla", "val_acc"] - v) < 1e-9
