@@ -67,7 +67,8 @@ def main():
         n_workers=args.n_workers,
         sample_size=args.sample_size,
     )
-    data = {"train": train, "val": val, "test": test}
+    # reference phase naming is train/dev/test; accept both aliases
+    data = {"train": train, "val": val, "dev": val, "test": test}
 
     if args.tiny:
         import dataclasses as _dc

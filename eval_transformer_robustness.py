@@ -63,7 +63,9 @@ def main():
         args.name_extractor = lambda x: x.split("/")[-1].split(".")[0]
 
     train, val, test = get_dataset_flava(args, datapath)
-    data = {"train": train, "val": val, "test": test}
+    # reference phase naming is train/dev/test (dev.jsonl, notebooks load
+    # *_dev.npy artifacts); accept 'val' as an alias for the same split
+    data = {"train": train, "val": val, "dev": val, "test": test}
 
     setup = setup_flava(
         model_type=args.model_type,

@@ -19,7 +19,11 @@ from typing import List, Optional
 
 import numpy as np
 
-from multimodal_uncertainty_tpu.data.images import gray_image, resize_center_crop
+from multimodal_uncertainty_tpu.data.images import (
+    decode_rgb,
+    gray_image,
+    resize_center_crop,
+)
 from multimodal_uncertainty_tpu.data.loaders import MapLoader
 from multimodal_uncertainty_tpu.data.tokenization import Vocab, get_vocab
 from multimodal_uncertainty_tpu.utils.seeding import numpy_seed
@@ -51,6 +55,7 @@ class JsonlDataset:
         num_image_embeds: int,
         labels: List,
         image_size: int = 224,
+        fast_decode: bool = False,
     ):
         self.data = [json.loads(l) for l in open(data_path)]
         self.data_dir = os.path.dirname(data_path)
@@ -60,6 +65,7 @@ class JsonlDataset:
         self.text_start_token = ["[SEP]"]
         self.labels = labels
         self.image_size = image_size
+        self.fast_decode = fast_decode
 
         with numpy_seed(0):
             for row in self.data:
@@ -96,11 +102,10 @@ class JsonlDataset:
         label = self.labels.index(self.data[index]["label"])
 
         if self.data[index]["img"]:
-            from PIL import Image
-
-            img = Image.open(
-                os.path.join(self.data_dir, self.data[index]["img"])
-            ).convert("RGB")
+            img = decode_rgb(
+                os.path.join(self.data_dir, self.data[index]["img"]),
+                fast=self.fast_decode,
+            )
             image = resize_center_crop(img, 256, self.image_size)
         else:
             image = resize_center_crop(
@@ -158,6 +163,7 @@ def get_food101(
     n_workers: int = 4,
     sample_size: Optional[int] = None,
     seed: int = 42,
+    fast_decode: bool = False,
 ):
     """Reference ``get_food101`` (``src/dataset.py:474-545``). ``vocab_file``
     is a local BERT vocab.txt (no network in this environment)."""
@@ -182,6 +188,7 @@ def get_food101(
             max_seq_len,
             num_image_embeds,
             labels,
+            fast_decode=fast_decode,
         )
 
     train, dev, test = make("train"), make("dev"), make("test")

@@ -59,6 +59,15 @@ def transformer_tp_rules(path_names, leaf) -> P:
         # bias stays replicated: in row-parallel layout it is added once
         # after XLA's psum, not per-shard
         return P("model", None)
+    if parent == "output_layers":
+        # EP: the fused EnsembleHeads einsum (E, D, C) shards its ensemble
+        # axis over 'model' — each shard computes its own heads' logits
+        # locally (batched per-head matmuls, no cross-head reduction).
+        # param_shardings drops the axis automatically when E % mp != 0.
+        if name == "kernel":
+            return P("model", None, None)
+        if name == "bias":
+            return P("model", None)
     return P()
 
 

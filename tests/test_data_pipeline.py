@@ -133,3 +133,28 @@ def test_map_loader_prefetch_and_len():
     batches = list(loader)
     assert len(loader) == 4 and len(batches) == 4
     assert sorted(np.concatenate(batches).tolist()) == list(range(10))
+
+
+def test_fast_decode_same_shape_similar_pixels(tmp_path):
+    """decode_rgb(fast=True) DCT-scaled path: same output geometry, close
+    pixels on smooth (natural-image-like) content."""
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.images import (
+        decode_rgb,
+        resize_center_crop,
+    )
+
+    yy, xx = np.meshgrid(np.arange(512), np.arange(512), indexing="ij")
+    smooth = np.stack(
+        [128 + 80 * np.sin(xx / 90), 128 + 60 * np.cos(yy / 70), xx * 0 + 90],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(smooth).save(p, quality=90)
+
+    full = resize_center_crop(decode_rgb(str(p)), 256, 224)
+    fast = resize_center_crop(decode_rgb(str(p), fast=True), 256, 224)
+    assert full.shape == fast.shape == (224, 224, 3)
+    diff = np.abs(full.astype(np.int32) - fast.astype(np.int32))
+    assert diff.mean() < 3.0  # box-vs-bilinear resample difference only

@@ -50,6 +50,10 @@ def test_tp_rules_shard_transformer_weights():
     assert "model" in str(block["attn"]["in_proj"]["kernel"].spec)
     # LayerNorms stay replicated
     assert block["ln_1"]["weight"].spec == jax.sharding.PartitionSpec()
+    # EP: ensemble heads shard E over 'model' (E=2 divides mp=2)
+    assert sh["output_layers"]["kernel"].spec == jax.sharding.PartitionSpec(
+        "model", None, None
+    )
 
 
 @pytest.mark.parametrize("mp", [1, 2])

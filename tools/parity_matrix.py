@@ -208,7 +208,9 @@ def config5_flava_robustness(args, data_dir):
     npys = sorted(f for f in os.listdir(out_dir) if f.endswith(".npy"))
     import numpy as np
 
-    preds = np.load(os.path.join(out_dir, npys[0]))
+    preds = np.load(os.path.join(
+        out_dir, next(f for f in npys if "predictions" in f)
+    ))
     return [{
         "config": "5. FLAVA Hateful-Memes + robustness",
         "variant": "MIMO-shuffle-instance",

@@ -81,6 +81,9 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--vilt_weights", type=str, default=None,
                         help="local torch state dict for ViLT pretrained init "
                              "(reference: dandelin/vilt-b32-mlm, train.py:166)")
+    parser.add_argument("--fast_decode", action="store_true",
+                        help="JPEG DCT-scaled decode (~2x host pipeline; "
+                             "slightly different resample than torchvision)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
@@ -182,6 +185,7 @@ def main():
             n_workers=args.n_workers,
             sample_size=args.sample_size,
             seed=args.seed,
+            fast_decode=args.fast_decode,
         )
         args.n_classes = n_classes
         total_steps = len(train) / args.gradient_accumulation_steps * args.n_epochs
