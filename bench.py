@@ -445,16 +445,20 @@ def main():
     else:
         baseline_sps = CACHED_BASELINE_SPS
     tpu_sps = bench_tpu()
-    print(
-        json.dumps(
-            {
-                "metric": "flava_fusion_mimo_train_samples_per_sec_per_chip",
-                "value": round(tpu_sps, 2),
-                "unit": "samples/sec",
-                "vs_baseline": round(tpu_sps / baseline_sps, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "flava_fusion_mimo_train_samples_per_sec_per_chip",
+        "value": round(tpu_sps, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(tpu_sps / baseline_sps, 2),
+    }
+    if "--skip-end2end" not in sys.argv:
+        # attach the north-star end-to-end breakdown (storage -> preprocess
+        # -> transfer -> step, overlapped); never let it sink the headline
+        try:
+            line["end2end_flava"] = bench_end2end_flava(batch=64, steps=3)
+        except Exception as exc:  # noqa: BLE001 — report, don't fail bench
+            line["end2end_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -222,7 +222,13 @@ def format_food101_dataset(datapath: str, dev_size: int = 5000, seed: int = 4):
                 continue
             for fname in sorted(os.listdir(label_dir)):
                 stem = os.path.splitext(fname)[0]
-                txt_path = os.path.join(datapath, "texts_txt", f"{stem}.txt")
+                # UPMC-Food-101 layout (reference data/food101.py:53-56):
+                # texts_txt/<label>/<label>_<num>.txt; accept a flat
+                # texts_txt/<stem>.txt as fallback
+                txt_path = os.path.join(datapath, "texts_txt", label,
+                                        f"{stem}.txt")
+                if not os.path.exists(txt_path):
+                    txt_path = os.path.join(datapath, "texts_txt", f"{stem}.txt")
                 if not os.path.exists(txt_path):
                     continue
                 with open(txt_path, encoding="utf-8", errors="ignore") as f:

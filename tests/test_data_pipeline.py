@@ -158,3 +158,46 @@ def test_fast_decode_same_shape_similar_pixels(tmp_path):
     assert full.shape == fast.shape == (224, 224, 3)
     diff = np.abs(full.astype(np.int32) - fast.astype(np.int32))
     assert diff.mean() < 3.0  # box-vs-bilinear resample difference only
+
+
+def test_format_food101_dataset_writes_jsonl(tmp_path):
+    """Offline formatter (reference data/food101.py:21-78): walks
+    images/{train,test}/<label>/*, pairs texts, cleans text, writes
+    {train,dev,test}.jsonl with a stratified dev split."""
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.food101 import format_food101_dataset
+
+    root = tmp_path
+    rng = np.random.default_rng(0)
+    labels = ["apple_pie", "waffles"]
+    for label in labels:  # reference layout: texts_txt/<label>/<stem>.txt
+        (root / "texts_txt" / label).mkdir(parents=True)
+    for split in ("train", "test"):
+        for label in labels:
+            d = root / "images" / split / label
+            d.mkdir(parents=True)
+            n = 8 if split == "train" else 3
+            for i in range(n):
+                stem = f"{label}_{split}{i}"
+                Image.new("RGB", (8, 8), (i * 9 % 255, 0, 0)).save(
+                    d / f"{stem}.jpg"
+                )
+                (root / "texts_txt" / label / f"{stem}.txt").write_text(
+                    f"Tasty {label.replace('_', ' ')}, No. {i}!"
+                )
+    format_food101_dataset(str(root), dev_size=4, seed=1)
+
+    import json as _json
+
+    rows = {s: [ _json.loads(l) for l in open(root / f"{s}.jsonl")]
+            for s in ("train", "dev", "test")}
+    assert len(rows["dev"]) == 4 and len(rows["train"]) == 12
+    assert len(rows["test"]) == 6
+    r = rows["train"][0]
+    assert set(r) >= {"img", "text", "label"} and r["label"] in labels
+    # text cleaning: lowercased, punctuation stripped
+    assert r["text"] == r["text"].lower()
+    assert not any(ch in r["text"] for ch in ",.!")
+    # both labels present in dev (stratified)
+    assert {x["label"] for x in rows["dev"]} == set(labels)
