@@ -186,8 +186,10 @@ def _synth_flava_packed(root: str, n: int, d: int = D, seed: int = 0):
             rng.integers(0, N_CLASSES, size=n).astype(np.int64))
 
 
-def _synth_food101_raw(root: str, n: int, px: int = 384, seed: int = 0):
-    """jsonl + JPEGs (realistic ~VGA source size) + WordPiece vocab."""
+def _synth_food101_raw(root: str, n: int, px: int = 512, seed: int = 0):
+    """jsonl + JPEGs + WordPiece vocab. px=512 approximates UPMC-Food-101
+    source images (also large enough that --fast_decode's DCT 1/2-scale
+    decode actually engages: draft needs source >= 2x the 256 target)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)

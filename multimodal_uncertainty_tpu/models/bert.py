@@ -117,7 +117,7 @@ class BertLayer(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, key_mask, *, train: bool):
+    def __call__(self, x, key_mask, train: bool = False):
         c = self.config
         attn_out = BertSelfAttention(c, self.attn_impl, name="self")(
             x, key_mask, train=train
@@ -136,12 +136,18 @@ class BertLayer(nn.Module):
 class BertEncoder(nn.Module):
     config: BertConfig
     attn_impl: str = "auto"
+    remat: bool = False  # rematerialize each layer in the backward pass
 
     @nn.compact
     def __call__(self, x, key_mask, *, train: bool):
+        layer_cls = BertLayer
+        if self.remat:
+            # argnums count the module as arg 0 -> 3 is the train flag
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,),
+                                 prevent_cse=False)
         for i in range(self.config.num_hidden_layers):
-            x = BertLayer(self.config, self.attn_impl, name=f"layer_{i}")(
-                x, key_mask, train=train
+            x = layer_cls(self.config, self.attn_impl, name=f"layer_{i}")(
+                x, key_mask, train
             )
         return x
 

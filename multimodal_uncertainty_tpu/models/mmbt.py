@@ -99,6 +99,7 @@ class MultimodalBertEncoder(nn.Module):
     resnet_layers: tuple = (3, 8, 36, 3)
     attn_impl: str = "auto"
     dtype: any = None  # compute dtype (bf16 for speed; params stay fp32)
+    remat: bool = False  # rematerialize ResNet blocks + BERT layers
 
     @nn.compact
     def __call__(
@@ -127,6 +128,7 @@ class MultimodalBertEncoder(nn.Module):
             self.img_embed_pool_type,
             self.resnet_layers,
             dtype=self.dtype,
+            remat=self.remat,
             name="img_encoder",
         )(input_img, train=train)
 
@@ -165,7 +167,8 @@ class MultimodalBertEncoder(nn.Module):
         ).astype(bool)
         if seq_keep_mask is not None:
             full_mask = full_mask & seq_keep_mask
-        encoded = BertEncoder(c, self.attn_impl, name="encoder")(
+        encoded = BertEncoder(c, self.attn_impl, remat=self.remat,
+                              name="encoder")(
             encoder_input, full_mask, train=train
         )
         return BertPooler(c, name="pooler")(encoded)
@@ -198,6 +201,7 @@ class MultimodalBertClf(nn.Module):
     resnet_layers: tuple = (3, 8, 36, 3)
     attn_impl: str = "auto"
     dtype: any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, seq_keep_mask=None):
@@ -211,6 +215,7 @@ class MultimodalBertClf(nn.Module):
             resnet_layers=self.resnet_layers,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
+            remat=self.remat,
             name="enc",
         )(txt, mask, segment, img, train=train, seq_keep_mask=seq_keep_mask)
         return Linear(self.n_classes, name="clf")(pooled)

@@ -25,7 +25,7 @@ class TVBottleneck(nn.Module):
     dtype: any = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         residual = x
         dt = self.dtype
         out = Conv(self.planes, (1, 1), dtype=dt, name="conv1")(x)
@@ -56,6 +56,7 @@ class ResNetTrunkTV(nn.Module):
 
     layers: Sequence[int] = (3, 8, 36, 3)
     dtype: any = None
+    remat: bool = False  # rematerialize each bottleneck in the backward pass
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -67,6 +68,13 @@ class ResNetTrunkTV(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         inplanes = 64
+        block_cls = TVBottleneck
+        if self.remat:
+            # trade ~30% more FLOPs for O(depth) less activation memory —
+            # the lever for batch > 64 on 224px ResNet-152 (BASELINE.md
+            # batch sweep); argnums count the module as arg 0
+            block_cls = nn.remat(TVBottleneck, static_argnums=(2,),
+                                 prevent_cse=False)
         for stage, (planes, blocks) in enumerate(
             zip((64, 128, 256, 512), self.layers)
         ):
@@ -74,10 +82,10 @@ class ResNetTrunkTV(nn.Module):
             for j in range(blocks):
                 s = stride if j == 0 else 1
                 downsample = j == 0 and (s != 1 or inplanes != planes * 4)
-                x = TVBottleneck(
+                x = block_cls(
                     planes, s, downsample, dtype=self.dtype,
                     name=f"layer{stage + 1}_{j}",
-                )(x, train=train)
+                )(x, train)
                 inplanes = planes * 4
         return x  # (B, 7, 7, 2048) for 224 input
 
@@ -115,10 +123,12 @@ class ImageEncoder(nn.Module):
     pool_mode: str = "avg"
     layers: Sequence[int] = (3, 8, 36, 3)
     dtype: any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        feats = ResNetTrunkTV(self.layers, dtype=self.dtype, name="model")(
+        feats = ResNetTrunkTV(self.layers, dtype=self.dtype, remat=self.remat,
+                              name="model")(
             x.astype(self.dtype) if self.dtype is not None else x, train=train
         )
         n = self.num_image_embeds

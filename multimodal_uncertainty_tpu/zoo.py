@@ -261,6 +261,7 @@ def setup_mmbt(
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     dtype=None,
+    remat: bool = False,
     pretrained_bert_sd=None,
     pretrained_resnet_sd=None,
 ) -> Setup:
@@ -289,6 +290,7 @@ def setup_mmbt(
         resnet_layers=tuple(resnet_layers),
         attn_impl=attn_impl,
         dtype=dtype,
+        remat=remat,
     )
     optimizer = bert_adam(lr, warmup, float(total_steps))
     plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)

@@ -117,3 +117,42 @@ def test_grad_mask_fn_freezes_subtrees(mmbt):
     assert any(float(jnp.abs(l).max()) > 0.0 for l in enc_leaves)
     clf_leaves = jax.tree_util.tree_leaves(masked["clf"])
     assert any(float(jnp.abs(l).max()) > 0.0 for l in clf_leaves)
+
+
+def test_remat_identical_forward_and_grads():
+    """remat=True must be a pure memory/FLOPs trade: same outputs, same
+    gradients as remat=False."""
+    rng = np.random.default_rng(4)
+    b, lt = 2, 6
+    x = (
+        jnp.asarray(rng.integers(0, 200, size=(b, lt))),
+        jnp.ones((b, lt), jnp.int32),
+        jnp.ones((b, lt), jnp.int32),
+        jnp.asarray(rng.normal(size=(b, 64, 64, 3)).astype(np.float32)),
+    )
+    y = jnp.asarray([1, 3])
+    models = {
+        r: MultimodalBertClf(
+            config=TINY, n_classes=5, num_image_embeds=3,
+            resnet_layers=(1, 1, 1, 1), attn_impl="xla", remat=r,
+        )
+        for r in (False, True)
+    }
+    variables = models[False].init({"params": jax.random.key(0)}, x, train=False)
+
+    outs, grads = {}, {}
+    for r, m in models.items():
+        def loss_fn(params):
+            logits, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, rngs={"dropout": jax.random.key(1)},
+                mutable=["batch_stats"],
+            )
+            return m.compute_loss(logits, y)
+
+        outs[r], grads[r] = jax.value_and_grad(loss_fn)(variables["params"])
+
+    assert abs(float(outs[True]) - float(outs[False])) < 1e-6
+    for ga, gb in zip(jax.tree_util.tree_leaves(grads[True]),
+                      jax.tree_util.tree_leaves(grads[False])):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)

@@ -225,6 +225,7 @@ def main():
             seed_key=root_key,
             attn_impl=args.attn_impl,
             dtype=jnp.bfloat16 if args.bf16 else None,
+            remat=args.remat,
             pretrained_bert_sd=load_sd(args.bert_weights),
             pretrained_resnet_sd=load_sd(args.resnet_weights),
         )
