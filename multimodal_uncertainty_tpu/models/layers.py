@@ -139,22 +139,34 @@ class EnsembleHeads(nn.Module):
 
 
 class Conv(nn.Module):
-    """NHWC conv with He-normal fan-out init (reference ResNet init)."""
+    """NHWC conv with He-normal fan-out init (reference ResNet init).
+
+    Default padding follows torch Conv2d's symmetric k//2 per spatial dim
+    (conv3x3 pad 1, conv1x1 pad 0, conv7x7 pad 3 — what every reference
+    ResNet conv uses). NOTE this is NOT XLA "SAME" at stride > 1: SAME pads
+    asymmetrically (low 0, high 1 for k=3,s=2 on even inputs), shifting the
+    conv windows by one pixel vs torch — same output shape, different
+    numerics. torch-style is required for pretrained torchvision weights to
+    reproduce torch activations at the stride-2 stages.
+    """
 
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = (1, 1)
-    padding: Any = "SAME"
+    padding: Any = None  # None -> torch-style symmetric k//2
     use_bias: bool = False
     dtype: Optional[Dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
+        padding = self.padding
+        if padding is None:
+            padding = [(k // 2, k // 2) for k in self.kernel_size]
         return nn.Conv(
             features=self.features,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding=self.padding,
+            padding=padding,
             use_bias=self.use_bias,
             kernel_init=he_normal_fan_out,
             dtype=self.dtype,

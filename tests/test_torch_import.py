@@ -125,3 +125,102 @@ def test_import_shape_mismatch_raises():
     sd["conv1.weight"] = rng.normal(size=(32, 3, 7, 7)).astype(np.float32)
     with pytest.raises(ValueError, match="pretrained shape"):
         import_mmbt_pretrained(variables, resnet_sd=sd, resnet_layers=LAYERS)
+
+
+def _torch_resnet(layers=(1, 1, 1, 1)):
+    """torchvision.models.ResNet(Bottleneck, layers) replica with identical
+    structure AND state-dict key names (torchvision absent from this env)."""
+    import torch
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU()
+            self.downsample = downsample
+
+        def forward(self, x):
+            res = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + res)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            for i, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), layers)
+            ):
+                setattr(self, f"layer{i + 1}",
+                        self._make_layer(Bottleneck, planes, blocks,
+                                         1 if i == 0 else 2))
+
+        def _make_layer(self, block, planes, blocks, stride):
+            import torch.nn as tnn
+
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = tnn.Sequential(
+                    tnn.Conv2d(self.inplanes, planes * 4, 1, stride,
+                               bias=False),
+                    tnn.BatchNorm2d(planes * 4),
+                )
+            mods = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            mods += [block(self.inplanes, planes) for _ in range(blocks - 1)]
+            return tnn.Sequential(*mods)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for i in range(4):
+                x = getattr(self, f"layer{i + 1}")(x)
+            return x
+
+    return Net()
+
+
+def test_resnet_trunk_matches_torch_numerics():
+    """Converted torch weights reproduce torch activations EXACTLY,
+    including the stride-2 stages (guards the torch-style conv padding:
+    XLA 'SAME' would shift windows by one pixel there)."""
+    import torch
+
+    from multimodal_uncertainty_tpu.models.resnet_tv import ResNetTrunkTV
+
+    torch.manual_seed(0)
+    tm = _torch_resnet((1, 1, 1, 1))
+    # non-trivial BN running stats so eval-mode normalization is exercised
+    tm.train()
+    with torch.no_grad():
+        tm(torch.randn(4, 3, 64, 64))
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_resnet_trunk(sd, layers=(1, 1, 1, 1))
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+    trunk = ResNetTrunkTV((1, 1, 1, 1))
+    out = trunk.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), train=False,
+    )
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)

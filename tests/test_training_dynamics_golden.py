@@ -176,3 +176,178 @@ def test_training_loss_curve_matches_torch(batches):
     # the curve must actually descend (guards against both sides being
     # trivially constant)
     assert jax_losses[-1] < jax_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Second golden: the BatchNorm + SGD path (MIMOResNet). Covers conv padding
+# semantics, BN batch-stats updates (torch momentum 0.1 == flax 0.9), the
+# SGD+momentum+weight-decay clone, and the MIMO channel folding — the
+# numerics most likely to drift silently vs the reference.
+# ---------------------------------------------------------------------------
+
+
+def _torch_mimo_resnet(emb_dim=4, out_dim=2, num_classes=10):
+    """Reference truncated MIMO ResNet (src/model.py:17-112) in torch."""
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.down = (
+                tnn.Sequential(
+                    tnn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes),
+                )
+                if downsample
+                else None
+            )
+
+        def forward(self, x):
+            res = x if self.down is None else self.down(x)
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return torch.relu(out + res)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(emb_dim, 64, 3, 1, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.blocks = tnn.ModuleList([
+                BasicBlock(64, 64), BasicBlock(64, 64),
+                BasicBlock(64, 128, 2, True), BasicBlock(128, 128),
+            ])
+            self.pool = tnn.AvgPool2d(4)
+            self.fc = tnn.Linear(128 * 1 * 1, num_classes * out_dim)
+
+        def forward(self, x):  # (B, E, 1, 14, 14)
+            b, e, c, h, w = x.shape
+            x = x.reshape(b, e * c, h, w)
+            x = torch.relu(self.bn1(self.conv1(x)))
+            for blk in self.blocks:
+                x = blk(x)
+            x = self.pool(x).reshape(b, -1)
+            return self.fc(x).reshape(b, out_dim, num_classes)
+
+    return Net()
+
+
+def _copy_resnet_torch_to_flax(tm, variables):
+    import copy
+
+    v = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables))
+    p, s = v["params"]["trunk"], v["batch_stats"]["trunk"]
+
+    def conv(mod):
+        return {"kernel": mod.weight.detach().numpy().transpose(2, 3, 1, 0).copy()}
+
+    def bn(mod):
+        return (
+            {"scale": mod.weight.detach().numpy().copy(),
+             "bias": mod.bias.detach().numpy().copy()},
+            {"mean": mod.running_mean.detach().numpy().copy(),
+             "var": mod.running_var.detach().numpy().copy()},
+        )
+
+    p["conv1"] = {"conv": conv(tm.conv1)}
+    p["bn1"], s["bn1"] = ({"bn": bn(tm.bn1)[0]}, {"bn": bn(tm.bn1)[1]})
+    names = ["layer1_0", "layer1_1", "layer2_0", "layer2_1"]
+    for name, blk in zip(names, tm.blocks):
+        bp = {"Conv_0": {"conv": conv(blk.conv1)},
+              "Conv_1": {"conv": conv(blk.conv2)}}
+        bs = {}
+        bn1_p, bn1_s = bn(blk.bn1)
+        bn2_p, bn2_s = bn(blk.bn2)
+        bp["BatchNorm_0"] = {"bn": bn1_p}
+        bp["BatchNorm_1"] = {"bn": bn2_p}
+        bs["BatchNorm_0"] = {"bn": bn1_s}
+        bs["BatchNorm_1"] = {"bn": bn2_s}
+        if blk.down is not None:
+            bp["Conv_2"] = {"conv": conv(blk.down[0])}
+            dbn_p, dbn_s = bn(blk.down[1])
+            bp["BatchNorm_2"] = {"bn": dbn_p}
+            bs["BatchNorm_2"] = {"bn": dbn_s}
+        p[name] = bp
+        s[name] = bs
+    v["params"]["output_layer"] = {"fc": {
+        "kernel": tm.fc.weight.detach().numpy().T.copy(),
+        "bias": tm.fc.bias.detach().numpy().copy(),
+    }}
+    return jax.tree_util.tree_map(jnp.asarray, v)
+
+
+def test_mimo_resnet_bn_sgd_dynamics_match_torch():
+    from multimodal_uncertainty_tpu.models.mimo_resnet import MIMOResNet
+    from multimodal_uncertainty_tpu.training.optim import sgd
+
+    E_DIM, OUT, CLS, BATCH, N_STEPS = 4, 2, 10, 8, 8
+    LR, MOM, WDEC = 0.05, 0.9, 1e-3
+
+    torch.manual_seed(1)
+    tm = _torch_mimo_resnet(E_DIM, OUT, CLS)
+    tm.train()
+
+    model = MIMOResNet(num_channels=1, emb_dim=E_DIM, out_dim=OUT,
+                       num_classes=CLS)
+    rng = np.random.default_rng(5)
+    data = [
+        (rng.normal(size=(BATCH, E_DIM, 1, 14, 14)).astype(np.float32),
+         rng.integers(0, CLS, size=BATCH).astype(np.int64))
+        for _ in range(N_STEPS)
+    ]
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.asarray(data[0][0]), train=False
+    )
+    variables = _copy_resnet_torch_to_flax(tm, variables)
+
+    opt = torch.optim.SGD(tm.parameters(), lr=LR, momentum=MOM,
+                          weight_decay=WDEC)
+    ce = tnn.CrossEntropyLoss()
+    torch_losses = []
+    for x, y in data:
+        opt.zero_grad()
+        out = tm(torch.tensor(x))
+        yy = torch.tensor(y)[:, None].expand(BATCH, OUT)
+        loss = ce(out.reshape(-1, CLS), yy.reshape(-1))
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    from multimodal_uncertainty_tpu.training.optim import constant_schedule
+    from multimodal_uncertainty_tpu.training.state import TrainState
+    from multimodal_uncertainty_tpu.training.steps import (
+        ModelBundle,
+        build_train_step,
+    )
+
+    optimizer = sgd(constant_schedule(LR), momentum=MOM, weight_decay=WDEC)
+    state = TrainState(
+        params=variables["params"], opt_state=optimizer.init(variables["params"]),
+        batch_stats=variables["batch_stats"], step=jnp.zeros((), jnp.int32),
+        accum_grads=None,
+    )
+
+    def apply_fn(v, x, *, train, rngs):
+        if train:
+            return model.apply(v, x, train=True, rngs=rngs,
+                               mutable=["batch_stats"])
+        return model.apply(v, x, train=False, rngs=rngs), {}
+
+    bundle = ModelBundle(apply_fn=apply_fn, loss_fn=model.compute_loss)
+    step = build_train_step(bundle, optimizer, donate=False)
+    jax_losses = []
+    for x, y in data:
+        yy = np.repeat(y[:, None], OUT, axis=1)
+        state, logs = step(state, jnp.asarray(x), jnp.asarray(yy),
+                           jax.random.key(1), None)
+        jax_losses.append(float(logs["loss"]))
+
+    # early steps must match tightly (proves forward/grad/SGD exactness);
+    # later steps accumulate fp32 reduction-order differences (XLA vs
+    # oneDNN conv backwards) amplified by the training dynamics at lr=0.05
+    np.testing.assert_allclose(jax_losses[:4], torch_losses[:4],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-2, atol=1e-3)
