@@ -14,9 +14,7 @@ finds the newest.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
-
-import jax
+from typing import Optional
 
 
 _CKPTR = None
@@ -93,9 +91,3 @@ def restore_train_state(template_state, directory: str,
         new = new.replace(accum_grads=restored["accum_grads"])
     return new
 
-
-def _leaf_equal(a: Any, b: Any) -> bool:
-    import numpy as np
-
-    return np.array_equal(np.asarray(jax.device_get(a)),
-                          np.asarray(jax.device_get(b)))

@@ -190,3 +190,37 @@ def test_missing_view_sweep_layouts():
     )
     assert outputs.shape == (4, 6, 3, 10)
     assert labels.shape == (18,)
+
+
+def test_fusion_remat_identical_loss_and_grads():
+    """--remat on the fusion transformer: same loss and gradients."""
+    from multimodal_uncertainty_tpu.models.fusion import FlavaFusionTransformer
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.normal(size=(4, 6, 16)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(4, 5, 16)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, size=(4, 2)))
+    models = {
+        r: FlavaFusionTransformer(
+            out_dim=2, num_classes=3, image_hidden_size=16,
+            text_hidden_size=16, multimodal_hidden_size=32,
+            multimodal_num_attention_heads=2, multimodal_num_hidden_layers=2,
+            attn_impl="xla", remat=r,
+        )
+        for r in (False, True)
+    }
+    params = models[False].init(
+        {"params": jax.random.key(0)}, (img, txt), train=False
+    )["params"]
+    vals, grads = {}, {}
+    for r, m in models.items():
+        def loss_fn(p):
+            logits = m.apply({"params": p}, (img, txt), train=True,
+                             rngs={"dropout": jax.random.key(1)})
+            return m.compute_loss(logits, y)
+
+        vals[r], grads[r] = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(vals[True]) - float(vals[False])) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(grads[True]),
+                    jax.tree_util.tree_leaves(grads[False])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

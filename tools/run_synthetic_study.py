@@ -1,0 +1,237 @@
+#!/usr/bin/env python3
+"""Reproduce the reference's FULL scientific workflow on synthetic data.
+
+The reference was used as: train MIMO/multi-head variants -> dump
+prediction/robustness tensors -> notebooks compute ensemble accuracy,
+Kendall-tau head diversity, missing-view breakdowns, and Δp-correlation
+robustness analyses. This script drives that complete pipeline through this
+framework's public CLIs and analysis package, writing STUDY.md + figures —
+proof that every stage composes end-to-end, and the template for the
+real-data study once datasets are provisioned.
+
+Stage 1 (analysis_round_1.py): FashionMNIST-4-view, all six strategies x
+seeds -> eval_prediction_saving + eval_robustness -> diversity/accuracy
+tables + learning-curve grid.
+Stage 2 (hatefulmeme_robustness.py): FLAVA fusion MIMO on synthetic
+Hateful-Memes -> eval_transformer_robustness -> AUC table, Δp correlation,
+histogram/violin/scatter figures.
+
+Usage: MMU_PLATFORM=cpu python tools/run_synthetic_study.py
+       [--out docs/study] [--epochs 12] [--seeds 2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STRATEGIES = [
+    "Vanilla", "MultiHead", "MIMO-shuffle-instance",
+    "MIMO-shuffle-view", "MIMO-shuffle-all", "single-model-weight-sharing",
+]
+
+
+def run(cmd, timeout=1800):
+    env = dict(os.environ)
+    env.setdefault("MMU_PLATFORM", "cpu")
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-1500:] + "\n" + proc.stderr[-3000:])
+        raise RuntimeError(f"command failed: {' '.join(cmd)}")
+
+
+def stage1_fashionmnist(out_dir, results_root, epochs, seeds):
+    import numpy as np
+
+    from multimodal_uncertainty_tpu.analysis.round1 import (
+        accuracy_breakdown,
+        head_diversity,
+        missing_view_accuracy,
+    )
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        draw_learning_curves,
+        max_metric_csv,
+    )
+
+    rows = []
+    for strategy in STRATEGIES:
+        for seed in range(seeds):
+            save = os.path.join(results_root, "fmnist", strategy, f"seed{seed}")
+            os.makedirs(save, exist_ok=True)
+            run([
+                sys.executable, "train_fashionmnist.py",
+                "--model_type", strategy, "--save_path", save,
+                "--n_epochs", str(epochs), "--batch_size", "64",
+                "--lr", "0.05", "--seed", str(seed), "--synthetic",
+            ])
+            ckpt = os.path.join(save, "model_best_val.pt")
+            run([
+                sys.executable, "eval_prediction_saving.py",
+                "--checkpoint_path", ckpt, "--save_path", save,
+                "--model_type", strategy, "--synthetic", "--seed", str(seed),
+            ])
+            run([
+                sys.executable, "eval_robustness.py",
+                "--checkpoint_path", ckpt, "--save_path", save,
+                "--model_type", strategy, "--synthetic", "--seed", str(seed),
+            ])
+            preds = np.load(os.path.join(save, "model_best_val_predictions.npy"))
+            labels = np.load(os.path.join(save, "model_best_val_labels.npy"))
+            rob = np.load(
+                os.path.join(save, "model_best_val_predictions_robustness.npy")
+            )
+            if labels.shape[0] != preds.shape[0]:
+                # weight-sharing: eval_robustness saves view-repeated labels
+                # (reference parity, eval_robustness.py:110-135); recover
+                # the per-sample labels
+                labels = labels.reshape(preds.shape[0], -1)[:, 0]
+            acc = accuracy_breakdown(preds, labels)
+            div = (head_diversity(preds, labels)[0]
+                   if preds.shape[1] > 1 else None)
+            mv = missing_view_accuracy(rob, labels)
+            rows.append({
+                "strategy": strategy, "seed": seed,
+                "ensemble_acc": 100 * acc["accuracy_overall"],
+                "head_accs": [round(100 * a, 1)
+                              for a in acc["accuracy_viewwise"]],
+                "kendall_tau": (round(div, 3) if div is not None
+                                else "n/a (1 head)"),
+                "missing_view_acc": [round(100 * a, 1) for a in mv],
+            })
+            print(f"[study] fmnist {strategy} seed{seed}: "
+                  f"ensemble_acc={100 * acc['accuracy_overall']:.1f}")
+
+    frame = draw_learning_curves(
+        STRATEGIES, dataset="fmnist", results_dir=results_root,
+        suffix="seed0", save_dir=out_dir, auc=False,
+    )
+    if frame is not None:
+        max_metric_csv(frame, os.path.join(out_dir, "fmnist_best_metrics.csv"),
+                       cols=("val_acc", "test_acc"))
+    return rows
+
+
+def stage2_flava_robustness(out_dir, results_root, data_dir, epochs):
+    import numpy as np
+
+    from multimodal_uncertainty_tpu.analysis.robustness_tables import auc_table
+    from multimodal_uncertainty_tpu.analysis.utils import (
+        get_correlation,
+        histogram_by_group,
+        visuals_per_model,
+    )
+
+    if not os.path.exists(os.path.join(data_dir, "hateful-meme-dataset",
+                                       "train.jsonl")):
+        run([sys.executable, "tools/make_synthetic_dataset.py",
+             "--root", data_dir, "--n_train", "128", "--n_eval", "48"])
+
+    save = os.path.join(results_root, "hatefulmeme", "MIMO-shuffle-instance")
+    os.makedirs(save, exist_ok=True)
+    run([
+        sys.executable, "train.py", "--framework", "flava",
+        "--dataset", "hateful-meme-dataset", "--save_path", save,
+        "--model_type", "MIMO-shuffle-instance",
+        "--n_epochs", str(epochs), "--batch_size", "16", "--lr", "1e-3",
+    ])
+    rob_dir = os.path.join(save, "robustness")
+    run([
+        sys.executable, "eval_transformer_robustness.py",
+        "--checkpoint_path", os.path.join(save, "model_best_val.pt"),
+        "--save_path", rob_dir, "--model_type", "MIMO-shuffle-instance",
+        "--dataset", "hateful-meme-dataset", "--phase", "dev",
+        "--n_repeats", "20", "--batch_size", "16",
+    ])
+    preds = np.load(os.path.join(
+        rob_dir, "robustness_model_best_val_predictions_dev.npy"))
+    labels = np.load(os.path.join(
+        rob_dir, "robustness_model_best_val_labels_dev.npy"))
+
+    # notebooks' column contract: 0 full, 1 image-only, 2 text-only,
+    # 3..22 image controls, 23..42 text controls; head-mean then softmax p1
+    from multimodal_uncertainty_tpu.ops.metrics import softmax_np
+
+    p = softmax_np(preds.mean(axis=2))[..., 1]  # (S, 43)
+    ori, image, text = p[:, 0], p[:, 1], p[:, 2]
+    image_corr, text_corr = p[:, 3:23], p[:, 23:43]
+    outcomes = (labels, ori, image, text, image_corr, text_corr)
+
+    table = auc_table(labels, ori, image, text, image_corr, text_corr)
+    corr = get_correlation(*outcomes)
+    histogram_by_group(*outcomes,
+                       save_path=os.path.join(out_dir, "hm_dp_histogram.png"))
+    visuals_per_model(outcomes, out_dir, "hm_dp_violin_scatter")
+    return table, corr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "study"))
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--seeds", type=int, default=2)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    results_root = os.environ.setdefault(
+        "RESULTS_DIR", tempfile.mkdtemp(prefix="study_results_"))
+    data_dir = os.environ.setdefault(
+        "DATA_DIR", tempfile.mkdtemp(prefix="study_data_"))
+
+    t0 = time.time()
+    rows = stage1_fashionmnist(args.out, results_root, args.epochs, args.seeds)
+    table, corr = stage2_flava_robustness(args.out, results_root, data_dir,
+                                          args.epochs)
+
+    lines = [
+        "# Synthetic end-to-end study",
+        "",
+        f"Full scientific pipeline run on synthetic data ({time.strftime('%Y-%m-%d')}):",
+        "train (CLI) -> eval artifact dumps (CLI) -> analysis package ->",
+        "figures. Mirrors notebooks/analysis_round_1.py and",
+        "hatefulmeme_robustness.py; rerun with real data via the same",
+        "commands once provisioned (see tools/parity_matrix.py).",
+        "",
+        "## Stage 1 — FashionMNIST 4-view, 6 strategies",
+        "",
+        "| strategy | seed | ensemble acc | per-head acc | Kendall-tau | missing-view acc |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['strategy']} | {r['seed']} | {r['ensemble_acc']:.1f} "
+            f"| {r['head_accs']} | {r['kendall_tau']} | {r['missing_view_acc']} |"
+        )
+    lines += [
+        "",
+        "Figures: learning_curves_*.png, fmnist_best_metrics.csv",
+        "",
+        "## Stage 2 — FLAVA fusion MIMO robustness (synthetic Hateful-Memes)",
+        "",
+        "AUC table (full / image-only / text-only / controls):",
+        "",
+        "```",
+        str(table),
+        "```",
+        "",
+        f"Δp correlation (experimental vs control): image={corr['image']:.3f},"
+        f" text={corr['text']:.3f}",
+        "",
+        "Figures: hm_dp_histogram.png, hm_dp_violin_scatter.png",
+        "",
+        f"Total wall time: {time.time() - t0:.0f}s (CPU).",
+    ]
+    out_md = os.path.join(args.out, "STUDY.md")
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwritten: {out_md}")
+
+
+if __name__ == "__main__":
+    main()
