@@ -123,3 +123,83 @@ class FusionPredictor:
             "image_sensitivity": np.abs(full - txt_only).max(-1),
             "text_sensitivity": np.abs(full - img_only).max(-1),
         }
+
+
+class MMBTPredictor:
+    """Batched predictor over an MMBT (BERT+ResNet) checkpoint.
+
+    Raw inputs: tokenized text (ids/mask/segment) + uint8 or float images.
+    Modality ablation reuses the encoder's keep-masks (the same masked
+    forward the robustness sweeps use), so image-only / text-only
+    uncertainty probes cost one extra forward each."""
+
+    def __init__(
+        self,
+        model,  # MultimodalBertClf
+        checkpoint_path: str,
+        *,
+        template_variables,
+        batch_buckets: Sequence[int] = (8, 32),
+    ):
+        model_vars, _ = load_weights(checkpoint_path)
+        self.variables = restore_into(template_variables, model_vars)
+        self.model = model
+        self.batch_buckets = sorted(batch_buckets)
+
+        @jax.jit
+        def _forward(variables, txt, mask, segment, img, keep_mask):
+            logits = model.apply(
+                variables, (txt, mask, segment, img), train=False,
+                seq_keep_mask=keep_mask,
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._forward = _forward
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return _round_up(n, self.batch_buckets[-1])
+
+    def predict(self, txt, mask, segment, img, *,
+                ablate: Optional[str] = None) -> np.ndarray:
+        """(N, L) ids/mask/segment + (N, H, W, 3) image -> (N, C) probs."""
+        n, lt = txt.shape
+        nb = self._bucket(n)
+
+        def pad(a):
+            out = np.zeros((nb,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return out
+
+        txt_p, mask_p, seg_p, img_p = map(pad, (txt, mask, segment, img))
+        enc = self.model  # MultimodalBertClf; mask helpers on the encoder
+        from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertEncoder
+
+        helper = MultimodalBertEncoder(
+            self.model.config, self.model.num_image_embeds
+        )
+        if ablate == "text":
+            keep = helper.img_only_mask(nb, lt)
+        elif ablate == "image":
+            keep = helper.txt_only_mask(nb, lt)
+        else:
+            keep = None
+        del enc
+        probs = self._forward(
+            self.variables, jnp.asarray(txt_p), jnp.asarray(mask_p),
+            jnp.asarray(seg_p), jnp.asarray(img_p),
+            keep if keep is None else jnp.asarray(keep),
+        )
+        return np.asarray(probs)[:n]
+
+    def predict_with_uncertainty(self, txt, mask, segment, img):
+        full = self.predict(txt, mask, segment, img)
+        img_only = self.predict(txt, mask, segment, img, ablate="text")
+        txt_only = self.predict(txt, mask, segment, img, ablate="image")
+        return full, {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }

@@ -70,3 +70,62 @@ def test_uncertainty_diagnostics(tmp_path):
     assert set(diag) == {"confidence", "image_sensitivity", "text_sensitivity"}
     assert (diag["confidence"] >= 1 / 3 - 1e-6).all()
     assert (diag["image_sensitivity"] >= 0).all()
+
+
+def _make_mmbt_ckpt(tmp_path):
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertClf
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = MultimodalBertClf(config=cfg, n_classes=4, num_image_embeds=3,
+                              resnet_layers=(1, 1, 1, 1), attn_impl="xla")
+    rng = np.random.default_rng(0)
+    b, lt = 2, 6
+    x = (jnp.asarray(rng.integers(0, 120, size=(b, lt))),
+         jnp.ones((b, lt), jnp.int32), jnp.ones((b, lt), jnp.int32),
+         jnp.asarray(rng.normal(size=(b, 64, 64, 3)).astype(np.float32)))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    path = os.path.join(tmp_path, "mmbt_best_val.pt")
+    save_weights(variables, None, path)
+    return model, variables, path
+
+
+def test_mmbt_predictor_probs_and_ablations(tmp_path):
+    from multimodal_uncertainty_tpu.serving import MMBTPredictor
+
+    model, variables, ckpt = _make_mmbt_ckpt(tmp_path)
+    pred = MMBTPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+    rng = np.random.default_rng(1)
+    n, lt = 3, 6
+    txt = rng.integers(0, 120, size=(n, lt)).astype(np.int32)
+    mask = np.ones((n, lt), np.int32)
+    seg = np.ones((n, lt), np.int32)
+    img = rng.normal(size=(n, 64, 64, 3)).astype(np.float32)
+
+    probs = pred.predict(txt, mask, seg, img)
+    assert probs.shape == (n, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    # ablations must equal the model's masked forward directly
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertEncoder
+
+    helper = MultimodalBertEncoder(model.config, 3)
+    direct = model.apply(
+        variables, tuple(map(jnp.asarray, (txt, mask, seg, img))),
+        train=False, seq_keep_mask=helper.txt_only_mask(n, lt),
+    )
+    direct = np.asarray(jax.nn.softmax(direct, axis=-1))
+    np.testing.assert_allclose(
+        pred.predict(txt, mask, seg, img, ablate="image"), direct, atol=1e-5
+    )
+
+    full, diag = pred.predict_with_uncertainty(txt, mask, seg, img)
+    assert set(diag) == {"confidence", "image_sensitivity", "text_sensitivity"}
+    assert (diag["image_sensitivity"] >= 0).all()
