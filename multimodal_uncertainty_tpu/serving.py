@@ -125,6 +125,69 @@ class FusionPredictor:
         }
 
 
+class ViltPredictor:
+    """Batched predictor over a ViLT checkpoint (processor batch dicts in,
+    ensemble-free class probabilities out; modality ablation via the
+    attention/pixel masks — text keeps its CLS, image keeps its CLS, same
+    convention as the MMBT ablations)."""
+
+    def __init__(self, model, checkpoint_path, *, template_variables,
+                 batch_buckets: Sequence[int] = (8, 32)):
+        model_vars, _ = load_weights(checkpoint_path)
+        self.variables = restore_into(template_variables, model_vars)
+        self.model = model
+        self.batch_buckets = sorted(batch_buckets)
+
+        @jax.jit
+        def _forward(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+
+        self._forward = _forward
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return _round_up(n, self.batch_buckets[-1])
+
+    def predict(self, batch: dict, *, ablate: Optional[str] = None):
+        n = batch["input_ids"].shape[0]
+        nb = self._bucket(n)
+
+        def pad(a):
+            out = np.zeros((nb,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return out
+
+        b = {k: pad(np.asarray(v)) for k, v in batch.items()
+             if v is not None and k != "labels"}
+        if "pixel_mask" not in b:
+            pv = b["pixel_values"]
+            hw = pv.shape[-2:] if pv.shape[1] in (1, 3) else pv.shape[1:3]
+            b["pixel_mask"] = np.ones((nb,) + hw, np.int64)
+        if ablate == "text":  # keep only the text CLS token
+            am = np.zeros_like(b["attention_mask"])
+            am[:, 0] = 1
+            b["attention_mask"] = am
+        elif ablate == "image":  # drop all patches (image CLS stays)
+            b["pixel_mask"] = np.zeros_like(b["pixel_mask"])
+        probs = self._forward(
+            self.variables, {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        return np.asarray(probs)[:n]
+
+    def predict_with_uncertainty(self, batch: dict):
+        full = self.predict(batch)
+        img_only = self.predict(batch, ablate="text")
+        txt_only = self.predict(batch, ablate="image")
+        return full, {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }
+
+
 class MMBTPredictor:
     """Batched predictor over an MMBT (BERT+ResNet) checkpoint.
 

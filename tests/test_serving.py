@@ -129,3 +129,46 @@ def test_mmbt_predictor_probs_and_ablations(tmp_path):
     full, diag = pred.predict_with_uncertainty(txt, mask, seg, img)
     assert set(diag) == {"confidence", "image_sensitivity", "text_sensitivity"}
     assert (diag["image_sensitivity"] >= 0).all()
+
+
+def test_vilt_predictor_probs_and_ablations(tmp_path):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import ViltPredictor
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64, image_size=64,
+        num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    n, lt = 3, 7
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(n, lt)).astype(np.int64),
+        "attention_mask": np.ones((n, lt), np.int64),
+        "token_type_ids": np.zeros((n, lt), np.int64),
+        "pixel_values": rng.normal(size=(n, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+
+    pred = ViltPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+    probs = pred.predict(batch)
+    assert probs.shape == (n, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    full, diag = pred.predict_with_uncertainty(batch)
+    assert (diag["confidence"] >= 1 / 3 - 1e-6).all()
+    # ablations actually change predictions
+    assert diag["image_sensitivity"].max() > 0
+    assert diag["text_sensitivity"].max() > 0
