@@ -102,11 +102,24 @@ class JsonlDataset:
         label = self.labels.index(self.data[index]["label"])
 
         if self.data[index]["img"]:
-            img = decode_rgb(
-                os.path.join(self.data_dir, self.data[index]["img"]),
-                fast=self.fast_decode,
-            )
-            image = resize_center_crop(img, 256, self.image_size)
+            path = os.path.join(self.data_dir, self.data[index]["img"])
+            image = None
+            if self.fast_decode:
+                # native C++ path first: libjpeg DCT-scaled decode (M/8,
+                # finer than PIL draft's powers of two) + fused bilinear
+                # resize/crop; returns None for non-JPEGs or if the lib
+                # is unavailable
+                from multimodal_uncertainty_tpu.data.native import (
+                    native_decode_resize_crop,
+                )
+
+                with open(path, "rb") as f:
+                    image = native_decode_resize_crop(
+                        f.read(), 256, self.image_size
+                    )
+            if image is None:
+                img = decode_rgb(path, fast=self.fast_decode)
+                image = resize_center_crop(img, 256, self.image_size)
         else:
             image = resize_center_crop(
                 _pil_from_array(gray_image()), 256, self.image_size

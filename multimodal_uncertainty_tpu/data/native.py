@@ -62,12 +62,35 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
     ]
+    lib.mmu_decode_resize_crop.restype = ctypes.c_int
+    lib.mmu_decode_resize_crop.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return _load_lib() is not None
+
+
+def native_decode_resize_crop(
+    jpeg_bytes: bytes, resize: int = 256, crop: int = 224
+) -> Optional[np.ndarray]:
+    """C++ pipeline: libjpeg DCT-scaled decode (M/8 granularity) + fused
+    bilinear resize/center-crop -> (crop, crop, 3) uint8. Returns None when
+    the native lib is unavailable or the bytes aren't decodable JPEG
+    (caller falls back to PIL)."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    out = np.empty((crop, crop, 3), np.uint8)
+    rc = lib.mmu_decode_resize_crop(
+        jpeg_bytes, len(jpeg_bytes), resize, crop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 class NativeTokenizer:

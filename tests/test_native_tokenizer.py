@@ -74,3 +74,75 @@ def test_native_is_faster(vocab_file):
         py.convert_tokens_to_ids(py.tokenize(text))
     t_py = time.perf_counter() - t0
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_decode_resize_crop_matches_pil():
+    """C++ JPEG pipeline: correct geometry and pixel agreement with the PIL
+    path on photo-like content (shared DCT downscale; bilinear tail)."""
+    import io
+
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.images import (
+        decode_rgb,
+        resize_center_crop,
+    )
+    from multimodal_uncertainty_tpu.data.native import (
+        native_available,
+        native_decode_resize_crop,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    yy, xx = np.meshgrid(np.arange(480), np.arange(480), indexing="ij")
+    img = np.stack(
+        [128 + 80 * np.sin(xx / 60), 128 + 70 * np.cos(yy / 45), yy % 255],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92)
+    data = buf.getvalue()
+
+    out = native_decode_resize_crop(data, 256, 224)
+    assert out is not None and out.shape == (224, 224, 3)
+    ref = resize_center_crop(decode_rgb(io.BytesIO(data)), 256, 224)
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 4.0, diff.mean()
+
+    # non-JPEG bytes -> graceful None (PIL fallback path)
+    assert native_decode_resize_crop(b"not a jpeg", 256, 224) is None
+
+
+def test_jsonl_dataset_native_fast_decode(tmp_path):
+    """JsonlDataset(fast_decode=True) consumes JPEGs through the native
+    pipeline and falls back to PIL for PNGs."""
+    import json
+
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.food101 import JsonlDataset
+    from multimodal_uncertainty_tpu.data.tokenization import Vocab
+
+    rng = np.random.default_rng(0)
+    for name, fmt in (("a.jpg", "JPEG"), ("b.png", "PNG")):
+        arr = rng.integers(0, 255, size=(300, 300, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / name, fmt)
+    rows = [
+        {"img": "a.jpg", "text": "hello", "label": "x"},
+        {"img": "b.png", "text": "world", "label": "x"},
+    ]
+    with open(tmp_path / "train.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    vocab = Vocab()
+    vocab.add(["hello", "world"])
+    ds = JsonlDataset(
+        str(tmp_path / "train.jsonl"), lambda t: t.split(), vocab, 1,
+        0.0, 32, 3, ["x"], fast_decode=True,
+    )
+    for i in range(2):
+        _, _, image, _ = ds[i]
+        assert image.shape == (224, 224, 3) and image.dtype == np.uint8
