@@ -40,7 +40,12 @@ he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class Linear(nn.Module):
-    """Dense layer with torch-default initialization."""
+    """Dense layer with torch-default initialization.
+
+    When traced inside :func:`multimodal_uncertainty_tpu.ops.quant.quantized`
+    the matmul runs int8-quantized (serving feature; see ops/quant.py) —
+    zero-cost otherwise (the mode is consulted at trace time only).
+    """
 
     features: int
     use_bias: bool = True
@@ -49,11 +54,17 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from multimodal_uncertainty_tpu.ops.quant import current_mode, quant_dot
+
         fan_in = x.shape[-1]
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features), self.param_dtype
         )
-        y = jnp.dot(x.astype(self.dtype or x.dtype), kernel.astype(self.dtype or x.dtype))
+        xc = x.astype(self.dtype or x.dtype)
+        if current_mode() is not None:
+            y = quant_dot(xc, kernel)
+        else:
+            y = jnp.dot(xc, kernel.astype(self.dtype or x.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", torch_linear_bias_init(fan_in), (self.features,), self.param_dtype

@@ -11,13 +11,21 @@ trained checkpoints directly consumable for deployment-style inference:
 """
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_uncertainty_tpu.ops.quant import quantized
 from multimodal_uncertainty_tpu.training.checkpoint import load_weights, restore_into
+
+
+def _quant_ctx(mode: Optional[str]):
+    """Context entered inside the traced forward so Linear matmuls quantize
+    (ops/quant.py). nullcontext when serving full-precision."""
+    return quantized(mode) if mode else nullcontext()
 
 
 def _round_up(n: int, m: int) -> int:
@@ -35,19 +43,22 @@ class FusionPredictor:
         template_variables,
         pad_multiple: int = 32,
         batch_buckets: Sequence[int] = (8, 32, 128),
+        quantize: Optional[str] = None,  # None | 'int8' | 'int8_weight'
     ):
         model_sd, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_sd)
         self.model = model
         self.pad_multiple = pad_multiple
         self.batch_buckets = sorted(batch_buckets)
+        self.quantize = quantize
 
         @jax.jit
         def _forward(variables, img, txt, img_mask, txt_mask):
-            logits = model.apply(
-                variables, (img, txt), train=False,
-                img_mask=img_mask, txt_mask=txt_mask,
-            )
+            with _quant_ctx(quantize):
+                logits = model.apply(
+                    variables, (img, txt), train=False,
+                    img_mask=img_mask, txt_mask=txt_mask,
+                )
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return probs.mean(axis=1)  # ensemble-mean over heads
 
@@ -132,15 +143,18 @@ class ViltPredictor:
     convention as the MMBT ablations)."""
 
     def __init__(self, model, checkpoint_path, *, template_variables,
-                 batch_buckets: Sequence[int] = (8, 32)):
+                 batch_buckets: Sequence[int] = (8, 32),
+                 quantize: Optional[str] = None):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
+        self.quantize = quantize
 
         @jax.jit
         def _forward(variables, batch):
-            out = model.apply(variables, batch, train=False)
+            with _quant_ctx(quantize):
+                out = model.apply(variables, batch, train=False)
             return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
 
         self._forward = _forward
@@ -203,18 +217,21 @@ class MMBTPredictor:
         *,
         template_variables,
         batch_buckets: Sequence[int] = (8, 32),
+        quantize: Optional[str] = None,
     ):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
+        self.quantize = quantize
 
         @jax.jit
         def _forward(variables, txt, mask, segment, img, keep_mask):
-            logits = model.apply(
-                variables, (txt, mask, segment, img), train=False,
-                seq_keep_mask=keep_mask,
-            )
+            with _quant_ctx(quantize):
+                logits = model.apply(
+                    variables, (txt, mask, segment, img), train=False,
+                    seq_keep_mask=keep_mask,
+                )
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         self._forward = _forward
