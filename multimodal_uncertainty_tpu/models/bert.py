@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_uncertainty_tpu.models.layers import Linear
-from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
 from multimodal_uncertainty_tpu.ops.norms import layer_norm
 
 
@@ -93,23 +93,16 @@ class BertSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask, *, train: bool):
         c = self.config
-        b, s, d = x.shape
+        d = x.shape[-1]
         h = c.num_attention_heads
-        dh = d // h
         q = Linear(d, name="query")(x)
         k = Linear(d, name="key")(x)
         v = Linear(d, name="value")(x)
-
-        def heads(t):
-            return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-
-        out = scaled_dot_product_attention(
-            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
-        )
         # Documented deviation: attention-PROB dropout (0.1 in torch BERT) is
         # omitted so attention stays a single fused kernel; the hidden-state
         # dropouts on the residual paths are kept. Identical at eval.
-        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        # Heads stay packed in the last dim; split happens inside the kernel.
+        return attention_heads_last(q, k, v, key_mask, n_head=h, impl=self.attn_impl)
 
 
 class BertLayer(nn.Module):

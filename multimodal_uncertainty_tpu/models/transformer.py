@@ -19,12 +19,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_uncertainty_tpu.models.layers import LayerNormFP32, Linear, quick_gelu
-from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_uncertainty_tpu.ops.attention import attention_qkv_packed
 
 
 class MultiHeadAttention(nn.Module):
     """Self-attention with packed QKV projection (torch MultiheadAttention
-    layout: in_proj 3D x D, out_proj D x D)."""
+    layout: in_proj 3D x D, out_proj D x D).
+
+    Q/K/V stay heads-packed (B, S, D) end to end; the head split happens
+    inside the fused kernel (attention_heads_last), avoiding the HBM
+    relayouts a (B, H, S, Dh) interface costs (~15% of the flagship train
+    step, round-2 hardware profile)."""
 
     n_head: int
     attn_impl: str = "auto"
@@ -33,17 +38,10 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, key_mask: Optional[jax.Array] = None):
         b, s, d = x.shape
         assert d % self.n_head == 0, (d, self.n_head)
-        dh = d // self.n_head
         qkv = Linear(3 * d, name="in_proj")(x)  # (B, S, 3D)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(b, s, self.n_head, dh).transpose(0, 2, 1, 3)
-
-        out = scaled_dot_product_attention(
-            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
+        out = attention_qkv_packed(
+            qkv, key_mask, n_head=self.n_head, impl=self.attn_impl
         )
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
         return Linear(d, name="out_proj")(out)
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_uncertainty_tpu.models.layers import LayerNormFP32, Linear
-from multimodal_uncertainty_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_uncertainty_tpu.ops.attention import attention_qkv_packed
 from multimodal_uncertainty_tpu.ops.losses import softmax_cross_entropy
 
 
@@ -75,18 +75,10 @@ class ViTBlock(nn.Module):
         c = self.config
         b, s, d = x.shape
         h = c.num_attention_heads
-        dh = d // h
         y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_1")(x)
         qkv = Linear(3 * d, name="qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-
-        attn = scaled_dot_product_attention(
-            heads(q), heads(k), heads(v), key_mask, impl=self.attn_impl
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+        # heads stay packed; q/k/v split + head split happen inside the kernel
+        attn = attention_qkv_packed(qkv, key_mask, n_head=h, impl=self.attn_impl)
         x = x + Linear(d, name="proj")(attn)
         y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_2")(x)
         y = Linear(c.intermediate_size, name="fc1")(y)

@@ -234,6 +234,271 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Heads-last fused kernel: (B, S, D) in, (B, S, D) out.
+#
+# The (B, H, S, Dh) interface above forces XLA to relayout each of Q/K/V
+# (and their gradients) between the projection matmuls' natural (B, S, D)
+# layout and the kernel's heads-first layout — measured at ~15% of the
+# flagship train step (57 HBM copies of bf16[256,274,768]-class tensors,
+# docs/study round-2 profile). This variant keeps HBM tensors in (B, S, D)
+# and splits heads INSIDE the kernel: each grid step (batch, head-group)
+# reads a (1, S, G*Dh) slice of the packed last dim and reshapes in VMEM,
+# where the transpose is register/VPU work instead of HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_hl(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    # one head per grid step: blocks are (1, S, Dh) slices of (B, S, D) —
+    # already the per-head matrix, no reshape/transpose anywhere
+    q = q_ref[0].astype(jnp.float32)  # (S, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (S, S)
+    mask = mask_ref[0]  # (1, S) keep flags, broadcasts over queries
+    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, Dh)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _hl_specs(s, dh):
+    blk = lambda bi, hi: (bi, 0, hi)  # noqa: E731
+    spec = pl.BlockSpec((1, s, dh), blk, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (1, 1, s), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    return spec, mask_spec
+
+
+def _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret):
+    b, s, d = q.shape
+    dh = d // n_head
+    spec, mask_spec = _hl_specs(s, dh)
+    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, n_head),
+        in_specs=[spec, spec, spec, mask_spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n_head * s * s * dh,
+            bytes_accessed=4 * b * s * d * 3,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32)
+
+
+def _attn_bwd_kernel_hl(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)  # (S, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    go = g_ref[0].astype(jnp.float32)
+    ct = (((1,), (1,)), ((), ()))  # contract last dims
+    scores = jax.lax.dot_general(q, k, ct, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    mask = mask_ref[0]
+    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (Sq, Sk)
+    dv = jax.lax.dot_general(
+        p, go, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # p^T go : (Sk, Dh)
+    dp = jax.lax.dot_general(go, v, ct, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sdpa_pallas_hl(q, k, v, mask_i32, n_head, interpret):
+    return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+
+
+def _sdpa_pallas_hl_fwd(q, k, v, mask_i32, n_head, interpret):
+    out = _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+    return out, (q, k, v, mask_i32)
+
+
+def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
+    q, k, v, mask_i32 = res
+    b, s, d = q.shape
+    dh = d // n_head
+    spec, mask_spec = _hl_specs(s, dh)
+    kernel = functools.partial(_attn_bwd_kernel_hl, scale=1.0 / (dh**0.5))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b, n_head),
+        in_specs=[spec, spec, spec, mask_spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * n_head * s * s * dh,
+            bytes_accessed=4 * b * s * d * 7,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, grad)
+    return dq, dk, dv, None
+
+
+_sdpa_pallas_hl.defvjp(_sdpa_pallas_hl_fwd, _sdpa_pallas_hl_bwd)
+
+
+def _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_head
+    spec, mask_spec = _hl_specs(s, dh)
+    # q/k/v are views of the SAME packed operand at different last-dim block
+    # offsets — no slice materialization in HBM
+    q_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, hi),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, n_head + hi),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, 2 * n_head + hi),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        grid=(b, n_head),
+        in_specs=[q_spec, k_spec, v_spec, mask_spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n_head * s * s * dh,
+            bytes_accessed=4 * b * s * d * 3,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(qkv, qkv, qkv, mask_i32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sdpa_pallas_packed(qkv, mask_i32, n_head, interpret):
+    return _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret)
+
+
+def _sdpa_pallas_packed_fwd(qkv, mask_i32, n_head, interpret):
+    out = _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret)
+    return out, (qkv, mask_i32)
+
+
+def _sdpa_pallas_packed_bwd(n_head, interpret, res, grad):
+    qkv, mask_i32 = res
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_head
+    spec, mask_spec = _hl_specs(s, dh)
+    q_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, hi),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, n_head + hi),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, 2 * n_head + hi),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_attn_bwd_kernel_hl, scale=1.0 / (dh**0.5))
+    part = jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(part, part, part),
+        grid=(b, n_head),
+        in_specs=[q_spec, k_spec, v_spec, mask_spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * n_head * s * s * dh,
+            bytes_accessed=4 * b * s * d * 7,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(qkv, qkv, qkv, mask_i32, grad)
+    return jnp.concatenate([dq, dk, dv], axis=-1), None
+
+
+_sdpa_pallas_packed.defvjp(_sdpa_pallas_packed_fwd, _sdpa_pallas_packed_bwd)
+
+
+def attention_qkv_packed(
+    qkv: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    n_head: int,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention straight off a packed QKV projection: (B, S, 3D) -> (B, S, D).
+
+    Avoids materializing the q/k/v last-dim slices as separate HBM buffers
+    (pallas reads three views of the one operand), on top of the heads-last
+    layout savings."""
+    b, s, d3 = qkv.shape
+    assert d3 % (3 * n_head) == 0, (d3, n_head)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "xla":
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return attention_heads_last(q, k, v, key_mask, n_head=n_head, impl="xla")
+    if key_mask is None:
+        mask_i32 = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    return _sdpa_pallas_packed(qkv, mask_i32, n_head, impl == "pallas_interpret")
+
+
+def attention_heads_last(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    n_head: int,
+    impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention on heads-packed tensors: (B, S, D) -> (B, S, D).
+
+    Drop-in for the reshape(B,S,H,Dh)->transpose->sdpa->transpose->reshape
+    pattern, but without the four HBM relayouts per call (and six more in
+    the backward) that the (B, H, S, Dh) interface costs. Dispatch mirrors
+    :func:`scaled_dot_product_attention`.
+    """
+    b, s, d = q.shape
+    assert d % n_head == 0, (d, n_head)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "xla":
+        dh = d // n_head
+
+        def heads(t):
+            return t.reshape(b, s, n_head, dh).transpose(0, 2, 1, 3)
+
+        out = sdpa_xla(heads(q), heads(k), heads(v), key_mask)
+        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    if key_mask is None:
+        mask_i32 = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    return _sdpa_pallas_hl(q, k, v, mask_i32, n_head, impl == "pallas_interpret")
+
+
 def sdpa_shard_mapped(mesh, *, impl: str = "pallas", batch_axis: str = "data"):
     """Batch-data-parallel wrapper: runs the fused kernel per shard via
     jax.shard_map (pallas_call is not GSPMD-partitioned on its own).
