@@ -342,6 +342,7 @@ def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
     train, _, _, n_classes, vocab = get_food101(
         datapath=tmp, batch_size=batch, n_workers=workers, max_seq_len=512,
         num_image_embeds=3, fast_decode="--fast_decode" in sys.argv,
+        batch_decode="--batch_decode" in sys.argv,
     )
     if tiny:
         import dataclasses as _dc

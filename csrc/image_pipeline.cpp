@@ -15,10 +15,12 @@
 // bit-exact replica of torchvision's full-resolution bilinear chain.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <thread>
 #include <vector>
 
 #include <jpeglib.h>
@@ -34,6 +36,10 @@ void error_exit(j_common_ptr cinfo) {
   ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
 }
+
+// Undecodable inputs are an expected, handled case (caller falls back);
+// don't spam stderr per image.
+void output_message(j_common_ptr) {}
 
 // Bilinear sample of src (h, w, 3) at fractional (fy, fx).
 inline void sample_bilinear(const uint8_t* src, int w, int h, float fx,
@@ -71,6 +77,7 @@ int mmu_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = output_message;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
@@ -139,6 +146,48 @@ int mmu_decode_resize_crop(const uint8_t* jpeg, size_t len, int resize,
     }
   }
   return 0;
+}
+
+// Batch variant with an internal std::thread pool: decodes n images
+// concurrently WITHOUT holding the Python GIL (the whole call is one C
+// entry point; ctypes releases the GIL for its duration). This is the
+// native data-loader executor for multi-core hosts: Python thread workers
+// serialize on the GIL for the decode-heavy part of __getitem__, while
+// here each worker thread owns a full decode+resize+crop independently.
+//
+//   blob      — concatenated encoded images
+//   offsets   — n+1 int64 offsets into blob (image i = [offsets[i], offsets[i+1]))
+//   n         — number of images
+//   resize/crop — as mmu_decode_resize_crop
+//   n_threads — worker threads (<=0 means hardware_concurrency)
+//   out       — n * crop * crop * 3 bytes
+//   rcs       — per-image return codes (0 ok; nonzero = caller falls back)
+void mmu_decode_resize_crop_batch(const uint8_t* blob, const int64_t* offsets,
+                                  int n, int resize, int crop, int n_threads,
+                                  uint8_t* out, int32_t* rcs) {
+  if (n <= 0) return;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, n);
+  const size_t stride = static_cast<size_t>(crop) * crop * 3;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      rcs[i] = mmu_decode_resize_crop(
+          blob + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]),
+          resize, crop, out + stride * i);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

@@ -56,6 +56,7 @@ class JsonlDataset:
         labels: List,
         image_size: int = 224,
         fast_decode: bool = False,
+        decode_in_collate: bool = False,
     ):
         self.data = [json.loads(l) for l in open(data_path)]
         self.data_dir = os.path.dirname(data_path)
@@ -66,6 +67,7 @@ class JsonlDataset:
         self.labels = labels
         self.image_size = image_size
         self.fast_decode = fast_decode
+        self.decode_in_collate = decode_in_collate
 
         with numpy_seed(0):
             for row in self.data:
@@ -100,6 +102,20 @@ class JsonlDataset:
             )
         segment = np.zeros(len(sentence), np.int64)
         label = self.labels.index(self.data[index]["label"])
+
+        if self.decode_in_collate:
+            # Batch-decode mode: hand raw encoded bytes (or None for the
+            # drop_img gray frame) to make_batch_decode_collate, which
+            # decodes the whole batch in one GIL-free native call.
+            image = None
+            if self.data[index]["img"]:
+                path = os.path.join(self.data_dir, self.data[index]["img"])
+                with open(path, "rb") as f:
+                    image = f.read()
+            segment = segment[1:]
+            token_ids = token_ids[1:]
+            segment += 1
+            return token_ids, segment, image, label
 
         if self.data[index]["img"]:
             path = os.path.join(self.data_dir, self.data[index]["img"])
@@ -166,6 +182,48 @@ def collate_fn(batch, pad_multiple: int = 32):
     return (text, segment, mask, imgs), targets
 
 
+def make_batch_decode_collate(
+    image_size: int = 224, pad_multiple: int = 32, n_threads: int = 0
+):
+    """Collate for ``JsonlDataset(decode_in_collate=True)`` rows: same text
+    layout as :func:`collate_fn`, but images arrive as raw encoded bytes and
+    are decoded by ONE native call (`mmu_decode_resize_crop_batch`) running
+    a C++ thread pool with the GIL released — the decode stage scales with
+    host cores where Python-thread per-item decoding serializes. Non-JPEG
+    bytes fall back to PIL; ``None`` (drop_img) becomes the reference's
+    gray-128 frame."""
+    from multimodal_uncertainty_tpu.data.native import (
+        native_decode_resize_crop_batch,
+    )
+
+    gray = resize_center_crop(_pil_from_array(gray_image()), 256, image_size)
+
+    def _pil_decode(raw: bytes) -> np.ndarray:
+        import io
+
+        return resize_center_crop(
+            decode_rgb(io.BytesIO(raw)), 256, image_size
+        )
+
+    def collate(batch):
+        raws = [row[2] for row in batch]
+        res = native_decode_resize_crop_batch(
+            raws, 256, image_size, n_threads=n_threads
+        )
+        if res is None:  # no native lib: per-image PIL
+            imgs = np.stack(
+                [gray if raw is None else _pil_decode(raw) for raw in raws]
+            )
+        else:
+            imgs, failed = res
+            for i in failed:
+                imgs[i] = gray if raws[i] is None else _pil_decode(raws[i])
+        rows = [(r[0], r[1], img, r[3]) for r, img in zip(batch, imgs)]
+        return collate_fn(rows, pad_multiple=pad_multiple)
+
+    return collate
+
+
 def get_food101(
     vocab_file: Optional[str] = None,
     datapath: Optional[str] = None,
@@ -177,9 +235,13 @@ def get_food101(
     sample_size: Optional[int] = None,
     seed: int = 42,
     fast_decode: bool = False,
+    batch_decode: bool = False,
 ):
     """Reference ``get_food101`` (``src/dataset.py:474-545``). ``vocab_file``
-    is a local BERT vocab.txt (no network in this environment)."""
+    is a local BERT vocab.txt (no network in this environment).
+    ``batch_decode=True`` moves image decoding into the collate stage, one
+    GIL-free native thread-pool call per batch (see
+    :func:`make_batch_decode_collate`)."""
     datapath = datapath or os.environ["DATA_DIR"]
     if vocab_file is None:
         vocab_file = os.path.join(datapath, "vocab.txt")
@@ -202,15 +264,17 @@ def get_food101(
             num_image_embeds,
             labels,
             fast_decode=fast_decode,
+            decode_in_collate=batch_decode,
         )
 
+    collate = make_batch_decode_collate() if batch_decode else collate_fn
     train, dev, test = make("train"), make("dev"), make("test")
     train_loader = MapLoader(
-        train, batch_size, collate_fn, shuffle=True, seed=seed,
+        train, batch_size, collate, shuffle=True, seed=seed,
         num_workers=n_workers, sample_size=sample_size,
     )
-    val_loader = MapLoader(dev, batch_size, collate_fn, num_workers=n_workers)
-    test_loader = MapLoader(test, batch_size, collate_fn, num_workers=n_workers)
+    val_loader = MapLoader(dev, batch_size, collate, num_workers=n_workers)
+    test_loader = MapLoader(test, batch_size, collate, num_workers=n_workers)
     return train_loader, val_loader, test_loader, n_classes, vocab
 
 

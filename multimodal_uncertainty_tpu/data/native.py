@@ -33,21 +33,33 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _CSRC], check=True, capture_output=True
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    # Always invoke make: a no-op when build/ is current, and rebuilds a
+    # stale .so after a csrc/ source change (mtime-driven).
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        if not os.path.exists(_LIB_PATH):
             logger.warning("native build failed (%s); using Python tokenizer", e)
             _build_failed = True
             return None
+        logger.warning("native rebuild failed (%s); using existing library", e)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:  # pragma: no cover
         logger.warning("native load failed (%s)", e)
         _build_failed = True
         return None
+    try:
+        _bind(lib)
+    except AttributeError as e:  # stale .so surviving a failed rebuild
+        logger.warning("native library missing symbols (%s); using Python", e)
+        _build_failed = True
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     lib.mmu_tokenizer_create.restype = ctypes.c_void_p
     lib.mmu_tokenizer_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.mmu_tokenizer_destroy.argtypes = [ctypes.c_void_p]
@@ -67,8 +79,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
     ]
-    _lib = lib
-    return _lib
+    lib.mmu_decode_resize_crop_batch.restype = None
+    lib.mmu_decode_resize_crop_batch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
 
 
 def native_available() -> bool:
@@ -91,6 +107,46 @@ def native_decode_resize_crop(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None
+
+
+def native_decode_resize_crop_batch(
+    images: List[Optional[bytes]],
+    resize: int = 256,
+    crop: int = 224,
+    n_threads: int = 0,
+):
+    """Decode a whole batch in one native call with an internal C++ thread
+    pool (GIL released for the duration — the decode stage scales with host
+    cores even from Python threads, unlike per-image Python-side decoding).
+
+    ``images`` entries may be ``None`` (e.g. drop_img gray frames — left
+    zero-filled and reported as failed so the caller fills them). Returns
+    ``(batch, failed)``: ``batch`` is (N, crop, crop, 3) uint8 and
+    ``failed`` lists the indices the caller must decode/fill itself
+    (non-JPEG bytes, None entries), or ``None`` if the native library is
+    unavailable."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    n = len(images)
+    out = np.zeros((n, crop, crop, 3), np.uint8)
+    if n == 0:
+        return out, []
+    rcs = np.empty(n, np.int32)
+    payload = [b if b else b"\0" for b in images]  # keep offsets monotonic
+    blob = b"".join(payload)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in payload], out=offsets[1:])
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.mmu_decode_resize_crop_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n, resize, crop, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, [i for i in range(n) if rcs[i] != 0]
 
 
 class NativeTokenizer:

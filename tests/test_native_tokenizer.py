@@ -146,3 +146,114 @@ def test_jsonl_dataset_native_fast_decode(tmp_path):
     for i in range(2):
         _, _, image, _ = ds[i]
         assert image.shape == (224, 224, 3) and image.dtype == np.uint8
+
+
+def test_native_batch_decode_matches_single_and_handles_failures():
+    """mmu_decode_resize_crop_batch (C++ thread pool, GIL-free): identical
+    pixels to the single-image entry point, per-image failure reporting,
+    threaded == serial."""
+    import io
+
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.native import (
+        native_decode_resize_crop,
+        native_decode_resize_crop_batch,
+    )
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(3)
+    jpegs = []
+    for i in range(4):
+        arr = rng.integers(
+            0, 255, size=(280 + 23 * i, 300 + 13 * i, 3)
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+    batch = [jpegs[0], None, jpegs[1], b"corrupt", jpegs[2], jpegs[3]]
+
+    out, failed = native_decode_resize_crop_batch(batch, 256, 224, n_threads=4)
+    assert out.shape == (6, 224, 224, 3) and out.dtype == np.uint8
+    assert failed == [1, 3]
+    for i, raw in enumerate(batch):
+        if i in failed:
+            continue
+        np.testing.assert_array_equal(
+            out[i], native_decode_resize_crop(raw, 256, 224)
+        )
+    out1, failed1 = native_decode_resize_crop_batch(batch, 256, 224, n_threads=1)
+    np.testing.assert_array_equal(out, out1)
+    assert failed1 == failed
+
+    empty, none_failed = native_decode_resize_crop_batch([], 256, 224)
+    assert empty.shape == (0, 224, 224, 3) and none_failed == []
+
+
+def test_food101_batch_decode_collate(tmp_path):
+    """get_food101(batch_decode=True): same batches as the per-item decode
+    path — JPEG via native batch call, PNG via PIL fallback, drop_img gray."""
+    import json
+
+    from PIL import Image
+
+    from multimodal_uncertainty_tpu.data.food101 import (
+        JsonlDataset,
+        collate_fn,
+        make_batch_decode_collate,
+    )
+    from multimodal_uncertainty_tpu.data.tokenization import Vocab
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.meshgrid(np.arange(300), np.arange(320), indexing="ij")
+    for k, (name, fmt) in enumerate(
+        (("a.jpg", "JPEG"), ("b.png", "PNG"), ("c.jpg", "JPEG"))
+    ):
+        # photo-like (smooth) content: DCT-scaled decode tracks PIL closely
+        # there, unlike white noise where any resample chain diverges
+        arr = np.stack(
+            [
+                128 + 80 * np.sin(xx / (40 + 10 * k)),
+                128 + 70 * np.cos(yy / (30 + 5 * k)),
+                (yy + 3 * k * xx) % 255,
+            ],
+            axis=-1,
+        ).clip(0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / name, fmt)
+    rows = [
+        {"img": "a.jpg", "text": "hello world", "label": "x"},
+        {"img": "b.png", "text": "world", "label": "y"},
+        {"img": "c.jpg", "text": "hello", "label": "x"},
+        {"img": None, "text": "hello hello", "label": "y"},
+    ]
+    with open(tmp_path / "train.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    vocab = Vocab()
+    vocab.add(["hello", "world"])
+
+    def make(decode_in_collate):
+        return JsonlDataset(
+            str(tmp_path / "train.jsonl"), lambda t: t.split(), vocab, 2,
+            0.0, 32, 3, ["x", "y"], decode_in_collate=decode_in_collate,
+        )
+
+    ref_ds, raw_ds = make(False), make(True)
+    (rt, rs, rm, rimg), ry = collate_fn([ref_ds[i] for i in range(4)])
+    collate = make_batch_decode_collate()
+    (bt, bs, bm, bimg), by = collate([raw_ds[i] for i in range(4)])
+
+    np.testing.assert_array_equal(rt, bt)
+    np.testing.assert_array_equal(rs, bs)
+    np.testing.assert_array_equal(rm, bm)
+    np.testing.assert_array_equal(ry, by)
+    assert bimg.shape == rimg.shape
+    # PNG row (PIL both sides) and gray row must be byte-identical; JPEG rows
+    # agree closely (native DCT-scaled decode vs PIL full decode).
+    np.testing.assert_array_equal(rimg[1], bimg[1])
+    np.testing.assert_array_equal(rimg[3], bimg[3])
+    for i in (0, 2):
+        diff = np.abs(rimg[i].astype(np.int32) - bimg[i].astype(np.int32))
+        assert diff.mean() < 6.0, diff.mean()
