@@ -11,7 +11,12 @@ kernel too (custom VJP, ``_attention_bwd_kernel`` below): it recomputes the
 probabilities in VMEM and emits dQ/dK/dV in one pass.
 
 All logits/softmax math runs in fp32 regardless of input dtype (parity with
-the reference's fp16-safe LayerNorm philosophy, ``src/model.py:174-180``).
+the reference's fp16-safe LayerNorm philosophy, ``src/model.py:174-180``):
+matmuls ACCUMULATE in fp32 (``preferred_element_type``) while their MXU
+operands stay in the input dtype — on bf16 training paths that is 8x the
+f32 MXU rate on v5e, and numerically identical to what the XLA einsum path
+does with bf16 inputs. Softmax and the dS recurrence are computed in fp32;
+p/dS feed the MXU in the input dtype (standard bf16 flash-attention).
 
 Masking contract: ``key_mask`` is boolean (B, S), True = token is attendable.
 Masked keys receive -1e30 before softmax — numerically identical to the
@@ -62,23 +67,26 @@ def sdpa_xla(
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    # blocks carry G heads: (1, G, S, Dh)
-    q = q_ref[0].astype(jnp.float32)  # (G, S, Dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # blocks carry G heads: (1, G, S, Dh). MXU operands stay in the input
+    # dtype (bf16 on the training path — 8x the f32 MXU rate on v5e) with
+    # fp32 ACCUMULATION via preferred_element_type; softmax math is fp32.
+    # This matches the XLA path exactly (sdpa_xla's einsum on bf16 inputs).
+    q = q_ref[0]  # (G, S, Dh), native dtype
+    k = k_ref[0]
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (G, S, S)
+    ) * scale  # (G, S, S) fp32
     mask = mask_ref[0]  # (1, S) int32 keep flags -> broadcast over G, queries
     scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)[None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p,
+        p.astype(v.dtype),
         v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -141,11 +149,14 @@ def _sdpa_pallas_fwd(q, k, v, mask_i32, interpret):
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float):
     """Fused backward: recompute p in VMEM, then dv/ds/dq/dk without any
-    HBM-resident (S, S) intermediates."""
-    q = q_ref[0].astype(jnp.float32)  # (G, S, Dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    HBM-resident (S, S) intermediates. Softmax/ds math is fp32; MXU operands
+    (incl. p and ds) run in the input dtype with fp32 accumulation — the
+    standard bf16-flash-attention recipe (all surrounding projection grads
+    already flow through bf16 matmuls)."""
+    q = q_ref[0]  # (G, S, Dh), native dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
     bq = (((2,), (2,)), ((0,), (0,)))  # contract last dims, batch head axis
     scores = jax.lax.dot_general(q, k, bq, preferred_element_type=jnp.float32)
     scores = scores * scale
@@ -153,22 +164,24 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)[None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, Sq, Sk)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, Sq, Sk) fp32
+    p_lp = p.astype(q.dtype)
 
     # dv = p^T g : contract the query axis
     dv = jax.lax.dot_general(
-        p, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p_lp, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     # dp = g v^T
     dp = jax.lax.dot_general(
         g, v, bq, preferred_element_type=jnp.float32
     )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lp = ds.astype(q.dtype)
     dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds_lp, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds_lp, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -241,38 +254,98 @@ def _on_tpu() -> bool:
 # (and their gradients) between the projection matmuls' natural (B, S, D)
 # layout and the kernel's heads-first layout — measured at ~15% of the
 # flagship train step (57 HBM copies of bf16[256,274,768]-class tensors,
-# docs/study round-2 profile). This variant keeps HBM tensors in (B, S, D)
-# and splits heads INSIDE the kernel: each grid step (batch, head-group)
-# reads a (1, S, G*Dh) slice of the packed last dim and reshapes in VMEM,
-# where the transpose is register/VPU work instead of HBM traffic.
+# docs/study round-2 profile) and ~8% of the full-size MMBT step (the
+# bf16[64,165,12,64] copy group). This variant keeps HBM tensors in
+# (B, S, D) and splits heads INSIDE the kernel.
+#
+# Mosaic constrains a block's last dim to a multiple of 128 lanes (or the
+# full array dim), so the per-head block is:
+#   * Dh % 128 == 0  ->  one head per (1, S, Dh) block; the block IS the
+#     per-head matrix, no reshape/transpose anywhere (fusion model, Dh=256).
+#   * 128 % Dh == 0  ->  g = 128//Dh heads share one (1, S, 128) block
+#     (BERT/MMBT/ViLT, Dh=64 -> g=2). Each sub-head's attention uses
+#     LANE-MASKED matmuls on the 128-wide block: (q*m_j)(k*m_j)^T contracts
+#     only head j's lanes, and p_j(v*m_j) writes only head j's lanes, so
+#     the accumulated output needs no in-kernel relayout either. The masked
+#     K=128 contraction costs the same MXU cycles a K=Dh contraction would
+#     (sub-128 contractions are padded on the MXU), i.e. the trick is
+#     FLOP-free; the masks are VPU constants.
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel_hl(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    # one head per grid step: blocks are (1, S, Dh) slices of (B, S, D) —
-    # already the per-head matrix, no reshape/transpose anywhere
-    q = q_ref[0].astype(jnp.float32)  # (S, Dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (S, S)
-    mask = mask_ref[0]  # (1, S) keep flags, broadcasts over queries
-    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, Dh)
-    o_ref[0] = out.astype(o_ref.dtype)
+def _hl_block_width(dh: int):
+    """Last-dim block width for the heads-last kernels, or None when the
+    head dim fits neither Mosaic-blockable pattern (e.g. Dh=96)."""
+    if dh % 128 == 0:
+        return dh
+    if 128 % dh == 0:
+        return 128
+    return None
 
 
-def _hl_specs(s, dh):
-    blk = lambda bi, hi: (bi, 0, hi)  # noqa: E731
-    spec = pl.BlockSpec((1, s, dh), blk, memory_space=pltpu.VMEM)
+def _lane_masks(bw: int, dh: int, dtype):
+    """(1, bw) lane masks selecting each of the bw//dh sub-heads (0/1 is
+    exact in any dtype; masks stay in the operand dtype so the masked
+    multiply does not promote the MXU operands to fp32)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+    return [(lane // dh == j).astype(dtype) for j in range(bw // dh)]
+
+
+def _attn_kernel_hl(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, dh):
+    # blocks are (BB, S, BW) slices of (B, S, D); BW carries bw//dh heads
+    # and BB batch items ride one grid step (fewer, larger DMAs — the fwd
+    # kernel is HBM-pipeline-bound at BB=1, measured ~50% of peak).
+    # MXU operands stay in the input dtype, fp32 accumulation + softmax
+    # (see _attn_kernel).
+    q = q_ref[...]  # (BB, S, BW), native dtype
+    k = k_ref[...]
+    v = v_ref[...]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (BB, 1, S)
+    bw = q.shape[-1]
+    bq = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
+
+    def one_head(qj, kj, vj):
+        scores = jax.lax.dot_general(
+            qj, kj, bq, preferred_element_type=jnp.float32
+        ) * scale  # (BB, S, S) fp32
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        return jax.lax.dot_general(
+            p.astype(vj.dtype), vj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BB, S, BW) — nonzero only in vj's live lanes
+
+    if bw == dh:
+        out = one_head(q, k, v)
+    else:
+        out = jnp.zeros(q.shape, jnp.float32)
+        for mj in _lane_masks(bw, dh, q.dtype):
+            out = out + one_head(q * mj, k * mj, v * mj)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _hl_batch_block(b, s, bw, itemsize, n_bufs, n_scores):
+    """Batch items per grid step: largest of {1,2,4,8} dividing b whose
+    VMEM footprint (double-buffered operand blocks + fp32 score planes)
+    stays within ~12MB."""
+    budget = 12 * 1024 * 1024
+    best = 1
+    for bb in (2, 4, 8):
+        if b % bb:
+            continue
+        need = n_bufs * bb * s * bw * itemsize * 2 + n_scores * bb * s * s * 4
+        if need <= budget:
+            best = bb
+    return best
+
+
+def _hl_specs(s, bw, bb):
+    blk = lambda bi, gi: (bi, 0, gi)  # noqa: E731
+    spec = pl.BlockSpec((bb, s, bw), blk, memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec(
-        (1, 1, s), lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM
+        (bb, 1, s), lambda bi, gi: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     return spec, mask_spec
 
@@ -280,17 +353,19 @@ def _hl_specs(s, dh):
 def _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret):
     b, s, d = q.shape
     dh = d // n_head
-    spec, mask_spec = _hl_specs(s, dh)
-    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5))
+    bw = _hl_block_width(dh)
+    bb = _hl_batch_block(b, s, bw, q.dtype.itemsize, 4, max(1, bw // dh))
+    spec, mask_spec = _hl_specs(s, bw, bb)
+    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5), dh=dh)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(b, n_head),
+        grid=(b // bb, d // bw),
         in_specs=[spec, spec, spec, mask_spec],
         out_specs=spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * n_head * s * s * dh,
+            flops=2 * 2 * b * s * s * d,
             bytes_accessed=4 * b * s * d * 3,
             transcendentals=b * n_head * s * s,
         ),
@@ -298,33 +373,54 @@ def _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret):
 
 
 def _attn_bwd_kernel_hl(q_ref, k_ref, v_ref, mask_ref, g_ref,
-                        dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)  # (S, Dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    go = g_ref[0].astype(jnp.float32)
-    ct = (((1,), (1,)), ((), ()))  # contract last dims
-    scores = jax.lax.dot_general(q, k, ct, preferred_element_type=jnp.float32)
-    scores = scores * scale
-    mask = mask_ref[0]
-    scores = scores + jnp.where(mask > 0, 0.0, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (Sq, Sk)
-    dv = jax.lax.dot_general(
-        p, go, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # p^T go : (Sk, Dh)
-    dp = jax.lax.dot_general(go, v, ct, preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+                        dq_ref, dk_ref, dv_ref, *, scale, dh):
+    # Native-dtype MXU operands (incl. p, ds), fp32 accumulation + softmax
+    # (see _attn_bwd_kernel). Blocks are (BB, S, BW).
+    q = q_ref[...]  # (BB, S, BW), native dtype
+    k = k_ref[...]
+    v = v_ref[...]
+    go = g_ref[...]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (BB, 1, S)
+    bw = q.shape[-1]
+    bq = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
+    ct_q = (((1,), (1,)), ((0,), (0,)))  # contract the query axis
+
+    def one_head(qj, kj, vj, goj):
+        scores = jax.lax.dot_general(
+            qj, kj, bq, preferred_element_type=jnp.float32
+        ) * scale
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (BB, Sq, Sk) fp32
+        p_lp = p.astype(qj.dtype)
+        dv = jax.lax.dot_general(
+            p_lp, goj, ct_q, preferred_element_type=jnp.float32
+        )  # p^T go : (BB, Sk, BW), live lanes = goj's
+        dp = jax.lax.dot_general(goj, vj, bq, preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lp = ds.astype(qj.dtype)
+        dq = jax.lax.dot_general(
+            ds_lp, kj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # live lanes = kj's
+        dk = jax.lax.dot_general(
+            ds_lp, qj, ct_q, preferred_element_type=jnp.float32
+        ) * scale
+        return dq, dk, dv
+
+    if bw == dh:
+        dq, dk, dv = one_head(q, k, v, go)
+    else:
+        dq = jnp.zeros(q.shape, jnp.float32)
+        dk = jnp.zeros_like(dq)
+        dv = jnp.zeros_like(dq)
+        for mj in _lane_masks(bw, dh, q.dtype):
+            dqj, dkj, dvj = one_head(q * mj, k * mj, v * mj, go * mj)
+            dq, dk, dv = dq + dqj, dk + dkj, dv + dvj
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -341,8 +437,14 @@ def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
     q, k, v, mask_i32 = res
     b, s, d = q.shape
     dh = d // n_head
-    spec, mask_spec = _hl_specs(s, dh)
-    kernel = functools.partial(_attn_bwd_kernel_hl, scale=1.0 / (dh**0.5))
+    bw = _hl_block_width(dh)
+    bb = _hl_batch_block(
+        b, s, bw, q.dtype.itemsize, 8, 4 * max(1, bw // dh)
+    )
+    spec, mask_spec = _hl_specs(s, bw, bb)
+    kernel = functools.partial(
+        _attn_bwd_kernel_hl, scale=1.0 / (dh**0.5), dh=dh
+    )
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -350,12 +452,12 @@ def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(b, n_head),
+        grid=(b // bb, d // bw),
         in_specs=[spec, spec, spec, mask_spec, spec],
         out_specs=(spec, spec, spec),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b * n_head * s * s * dh,
+            flops=5 * 2 * b * s * s * d,
             bytes_accessed=4 * b * s * d * 7,
             transcendentals=b * n_head * s * s,
         ),
@@ -366,29 +468,37 @@ def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
 _sdpa_pallas_hl.defvjp(_sdpa_pallas_hl_fwd, _sdpa_pallas_hl_bwd)
 
 
+def _packed_specs(s, d, bw, bb):
+    # q/k/v are views of the SAME packed (B, S, 3D) operand at different
+    # last-dim block offsets — no slice materialization in HBM
+    ng = d // bw
+    q_spec = pl.BlockSpec((bb, s, bw), lambda bi, gi: (bi, 0, gi),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((bb, s, bw), lambda bi, gi: (bi, 0, ng + gi),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((bb, s, bw), lambda bi, gi: (bi, 0, 2 * ng + gi),
+                          memory_space=pltpu.VMEM)
+    return q_spec, k_spec, v_spec
+
+
 def _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret):
     b, s, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_head
-    spec, mask_spec = _hl_specs(s, dh)
-    # q/k/v are views of the SAME packed operand at different last-dim block
-    # offsets — no slice materialization in HBM
-    q_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, hi),
-                          memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, n_head + hi),
-                          memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, 2 * n_head + hi),
-                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5))
+    bw = _hl_block_width(dh)
+    bb = _hl_batch_block(b, s, bw, qkv.dtype.itemsize, 4, max(1, bw // dh))
+    spec, mask_spec = _hl_specs(s, bw, bb)
+    q_spec, k_spec, v_spec = _packed_specs(s, d, bw, bb)
+    kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5), dh=dh)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
-        grid=(b, n_head),
+        grid=(b // bb, d // bw),
         in_specs=[q_spec, k_spec, v_spec, mask_spec],
         out_specs=spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * n_head * s * s * dh,
+            flops=2 * 2 * b * s * s * d,
             bytes_accessed=4 * b * s * d * 3,
             transcendentals=b * n_head * s * s,
         ),
@@ -410,24 +520,25 @@ def _sdpa_pallas_packed_bwd(n_head, interpret, res, grad):
     b, s, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_head
-    spec, mask_spec = _hl_specs(s, dh)
-    q_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, hi),
-                          memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, n_head + hi),
-                          memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, s, dh), lambda bi, hi: (bi, 0, 2 * n_head + hi),
-                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_attn_bwd_kernel_hl, scale=1.0 / (dh**0.5))
+    bw = _hl_block_width(dh)
+    bb = _hl_batch_block(
+        b, s, bw, qkv.dtype.itemsize, 8, 4 * max(1, bw // dh)
+    )
+    spec, mask_spec = _hl_specs(s, bw, bb)
+    q_spec, k_spec, v_spec = _packed_specs(s, d, bw, bb)
+    kernel = functools.partial(
+        _attn_bwd_kernel_hl, scale=1.0 / (dh**0.5), dh=dh
+    )
     part = jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(part, part, part),
-        grid=(b, n_head),
+        grid=(b // bb, d // bw),
         in_specs=[q_spec, k_spec, v_spec, mask_spec, spec],
         out_specs=(spec, spec, spec),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b * n_head * s * s * dh,
+            flops=5 * 2 * b * s * s * d,
             bytes_accessed=4 * b * s * d * 7,
             transcendentals=b * n_head * s * s,
         ),
@@ -452,11 +563,16 @@ def attention_qkv_packed(
     layout savings."""
     b, s, d3 = qkv.shape
     assert d3 % (3 * n_head) == 0, (d3, n_head)
+    d = d3 // 3
+    dh = d // n_head
+    bw = _hl_block_width(dh)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "xla":
+    if impl == "xla" or bw is None or d % bw != 0:
+        # No Mosaic-blockable layout for this head dim (see _hl_block_width):
+        # route through the heads-first kernel / XLA attention.
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        return attention_heads_last(q, k, v, key_mask, n_head=n_head, impl="xla")
+        return attention_heads_last(q, k, v, key_mask, n_head=n_head, impl=impl)
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:
@@ -482,15 +598,20 @@ def attention_heads_last(
     """
     b, s, d = q.shape
     assert d % n_head == 0, (d, n_head)
+    dh = d // n_head
+    bw = _hl_block_width(dh)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "xla":
-        dh = d // n_head
-
+    if impl == "xla" or bw is None or d % bw != 0:
+        # XLA path, and the fallback for head dims with no Mosaic-blockable
+        # packed-last-dim layout (see _hl_block_width): relayout to
+        # (B, H, S, Dh) and use the heads-first kernel / XLA attention.
         def heads(t):
             return t.reshape(b, s, n_head, dh).transpose(0, 2, 1, 3)
 
-        out = sdpa_xla(heads(q), heads(k), heads(v), key_mask)
+        out = scaled_dot_product_attention(
+            heads(q), heads(k), heads(v), key_mask, impl=impl
+        )
         return out.transpose(0, 2, 1, 3).reshape(b, s, d)
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
