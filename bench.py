@@ -234,8 +234,12 @@ def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
     x, y = next(it)
     step_sps, transfer_sps = resident_step(x, y)
 
-    # 4) overlapped end-to-end
-    it = _cycle(loader)
+    # 4) overlapped end-to-end: host pipeline in the loader's producer
+    # thread, host->device transfer in the DevicePrefetcher's thread, step
+    # dispatch on the main thread — all three stages run concurrently.
+    from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
+
+    it = iter(DevicePrefetcher(_cycle(loader)))
     x, y = next(it)
     float(put_and_step(x, y))  # warmup; barrier so t0 excludes its chain
     t0 = _t.perf_counter()
@@ -247,6 +251,7 @@ def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
         n += len(y)
     float(logs_last)  # barrier: depends on the whole chain
     e2e_sps = n / (_t.perf_counter() - t0)
+    it.close()  # reap the prefetch + loader producer threads
     return {
         "host_pipeline_sps": round(host_sps, 2),
         "transfer_sps": round(transfer_sps, 2),
@@ -291,7 +296,7 @@ def bench_end2end_flava(batch=128, steps=5, workers=0):
     def put_and_step(x, yy):
         key_ctr[0] += 1
         im, tx = jax.device_put(x[0]), jax.device_put(x[1])
-        y_d = jax.device_put(np.asarray(yy))
+        y_d = yy if isinstance(yy, jax.Array) else jax.device_put(np.asarray(yy))
         state_box[0], logs = train_step(
             state_box[0], (im, tx), y_d, jax.random.key(key_ctr[0]), None
         )
@@ -370,7 +375,7 @@ def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
     def put_and_step(x, yy):
         key_ctr[0] += 1
         x_d = jax.tree_util.tree_map(jax.device_put, tuple(x))
-        y_d = jax.device_put(np.asarray(yy))
+        y_d = yy if isinstance(yy, jax.Array) else jax.device_put(np.asarray(yy))
         state_box[0], logs = train_step(
             state_box[0], x_d, y_d, jax.random.key(key_ctr[0]), flags
         )

@@ -105,53 +105,102 @@ class MapLoader:
             for sel in batches:
                 yield self._make_batch(sel)
             return
+        yield from _produce_in_thread(
+            (lambda sel=sel: self._make_batch(sel) for sel in batches),
+            self.prefetch,
+        )
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-        cancel = threading.Event()
 
-        def _put(item) -> bool:
-            """Put unless the consumer cancelled; returns False on cancel."""
-            while True:
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    if cancel.is_set():
-                        return False
+def _produce_in_thread(thunks, maxsize: int):
+    """Run `thunks` (an iterable of zero-arg callables) on a background
+    thread, yielding their results through a bounded queue. Exceptions
+    propagate to the consumer; early consumer exit cancels and reaps the
+    producer instead of leaking it."""
+    q: queue.Queue = queue.Queue(maxsize=maxsize)
+    stop = object()
+    cancel = threading.Event()
 
-        def producer():
+    def _put(item) -> bool:
+        """Put unless the consumer cancelled; returns False on cancel."""
+        while True:
             try:
-                for sel in batches:
-                    if cancel.is_set():
-                        return
-                    if not _put(self._make_batch(sel)):
-                        return
-                _put(stop)
-            except BaseException as e:  # propagate to the consumer
-                _put(e)
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if cancel.is_set():
+                    return False
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+    def producer():
         try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    break
-                if isinstance(item, BaseException):
-                    t.join()
-                    raise item
-                yield item
-        finally:
-            # Consumer may stop early (e.g. eval with steps < len(loader));
-            # unblock and reap the producer instead of leaking it.
-            cancel.set()
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:  # pragma: no cover
-                    break
-            t.join()
+            for thunk in thunks:
+                if cancel.is_set():
+                    return
+                if not _put(thunk()):
+                    return
+            _put(stop)
+        except BaseException as e:  # propagate to the consumer
+            _put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
+            yield item
+    finally:
+        # Consumer may stop early (e.g. eval with steps < len(loader));
+        # unblock and reap the producer instead of leaking it.
+        cancel.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:  # pragma: no cover
+                break
+        t.join()
+
+
+class DevicePrefetcher:
+    """Overlap host->device transfer with device compute.
+
+    Wraps any batch iterable; a background thread applies ``put_fn``
+    (default: ``jnp.asarray`` over the batch pytree, i.e. device_put) to
+    upcoming batches while the consumer's current step is still executing,
+    keeping up to ``depth`` device-resident batches in flight. On hosts
+    where the PCIe/tunnel transfer is a visible fraction of step time this
+    converts transfer from serial cost to overlapped background work — the
+    TPU-native replacement for torch DataLoader's pin_memory +
+    non_blocking copies.
+
+    JAX note: device_put from a secondary thread is safe and itself
+    asynchronous; the queue depth bounds device memory at
+    ``depth * batch_bytes`` extra."""
+
+    def __init__(self, loader, put_fn=None, depth: int = 2):
+        self.loader = loader
+        self.put_fn = put_fn
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        put = self.put_fn
+        if put is None:
+            import jax
+
+            import jax.numpy as jnp
+
+            def put(batch):  # noqa: E731 - default device placement
+                return jax.tree_util.tree_map(jnp.asarray, batch)
+
+        yield from _produce_in_thread(
+            (lambda b=b: put(b) for b in self.loader), self.depth
+        )
 
 
 def subset_then_loaders(

@@ -283,3 +283,129 @@ class MMBTPredictor:
             "image_sensitivity": np.abs(full - txt_only).max(-1),
             "text_sensitivity": np.abs(full - img_only).max(-1),
         }
+
+
+# ---------------------------------------------------------------------------
+# Dynamic micro-batching (serving runtime)
+# ---------------------------------------------------------------------------
+
+
+class MicroBatcher:
+    """Dynamic request batching in front of a predictor.
+
+    Concurrent callers submit single samples; a collector thread coalesces
+    them into one batched ``predict_batch`` call — up to ``max_batch``
+    samples, waiting at most ``max_wait_ms`` after the first arrival — then
+    distributes per-sample results to the callers' futures. This amortizes
+    per-dispatch latency (material on remote/tunneled backends) and rides
+    the predictors' existing shape buckets, so the compiled-program count
+    stays bounded no matter the request arrival pattern.
+
+    ``predict_batch``: ``list[sample] -> sequence[result]`` (one result per
+    sample, same order). Exceptions fail every request in that batch.
+
+    Usage::
+
+        mb = MicroBatcher(lambda xs: predictor.predict(np.stack(xs)), ...)
+        fut = mb.submit(x)          # concurrent.futures.Future
+        probs = mb(x)               # blocking convenience
+        mb.close()
+    """
+
+    def __init__(self, predict_batch, *, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
+        import queue as _queue
+        import threading as _threading
+
+        self.predict_batch = predict_batch
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._closed = _threading.Event()
+        self._thread = _threading.Thread(target=self._collect, daemon=True)
+        self._thread.start()
+
+    def submit(self, sample):
+        """Enqueue one sample; returns a concurrent.futures.Future."""
+        from concurrent.futures import Future
+
+        if self._closed.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((sample, fut))
+        return fut
+
+    def __call__(self, sample):
+        return self.submit(sample).result()
+
+    def close(self):
+        """Stop the collector; outstanding requests are still served."""
+        self._closed.set()
+        self._thread.join()
+
+    # -- collector ---------------------------------------------------------
+    def _collect(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            try:
+                first = self._q.get(timeout=0.05)
+            except _queue.Empty:
+                if self._closed.is_set():
+                    return
+                continue
+            batch = [first]
+            deadline = _time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=timeout))
+                except _queue.Empty:
+                    break
+            samples = [s for s, _ in batch]
+            futures = [f for _, f in batch]
+            try:
+                results = self.predict_batch(samples)
+                if len(results) != len(samples):
+                    raise ValueError(
+                        f"predict_batch returned {len(results)} results "
+                        f"for {len(samples)} samples"
+                    )
+            except BaseException as e:
+                for f in futures:
+                    f.set_exception(e)
+                continue
+            for f, r in zip(futures, results):
+                f.set_result(r)
+
+
+def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
+                         max_wait_ms: float = 5.0) -> MicroBatcher:
+    """MicroBatcher over a FusionPredictor for variable-length samples.
+
+    Each sample is ``(img, txt)`` with shapes (L_i, D)/(L_t, D); the batch
+    call pads to the max length in the coalesced batch (the predictor's
+    pad_multiple bounds compile count) and passes true lengths so padding
+    is masked."""
+
+    def predict_batch(samples):
+        n = len(samples)
+        li = max(s[0].shape[0] for s in samples)
+        lt = max(s[1].shape[0] for s in samples)
+        d = samples[0][0].shape[-1]
+        img = np.zeros((n, li, d), np.float32)
+        txt = np.zeros((n, lt, d), np.float32)
+        il = np.zeros(n, np.int32)
+        tl = np.zeros(n, np.int32)
+        for i, (im, tx) in enumerate(samples):
+            img[i, : im.shape[0]] = im
+            txt[i, : tx.shape[0]] = tx
+            il[i], tl[i] = im.shape[0], tx.shape[0]
+        probs = predictor.predict(img, txt, img_lengths=il, txt_lengths=tl)
+        return list(probs)
+
+    return MicroBatcher(predict_batch, max_batch=max_batch,
+                        max_wait_ms=max_wait_ms)

@@ -61,6 +61,7 @@ class Trainer:
         size_fn: Optional[Callable] = None,
         verbose: bool = True,
         put_batch_fn: Optional[Callable] = None,
+        device_prefetch: bool = False,
     ):
         self.bundle = bundle
         self.optimizer = optimizer
@@ -71,6 +72,7 @@ class Trainer:
         self.verbose = verbose
         self.size_fn = size_fn or (lambda x, y: len(y))
         self.put_batch = put_batch_fn or _device_batch
+        self.device_prefetch = device_prefetch
         self._train_step = build_train_step(
             bundle, optimizer, gradient_accumulation_steps=gradient_accumulation_steps
         )
@@ -195,6 +197,16 @@ class Trainer:
             callback_list.append(ProgressionCallback())
         callback_list.set_params({"epochs": epochs, "steps": steps_per_epoch})
         callback_list.set_trainer(self)
+
+        if self.device_prefetch:
+            # Background-thread host->device transfer: upcoming batches are
+            # already device-resident when the loop reaches them (put_batch
+            # is then a no-op), overlapping transfer with the running step.
+            from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
+
+            train_generator = DevicePrefetcher(
+                train_generator, put_fn=self.put_batch
+            )
 
         stop_training = False
         stopped_epoch, counter = 0, 0

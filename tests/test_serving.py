@@ -172,3 +172,100 @@ def test_vilt_predictor_probs_and_ablations(tmp_path):
     # ablations actually change predictions
     assert diag["image_sensitivity"].max() > 0
     assert diag["text_sensitivity"].max() > 0
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher (dynamic request batching)
+# ---------------------------------------------------------------------------
+
+
+def test_micro_batcher_results_match_direct(tmp_path):
+    """Coalesced predictions must equal per-sample direct predictions,
+    including variable-length samples."""
+    from multimodal_uncertainty_tpu.serving import fusion_micro_batcher
+
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16),
+    )
+    rng = np.random.default_rng(5)
+    samples = [
+        (
+            rng.normal(size=(3 + i % 4, D)).astype(np.float32),
+            rng.normal(size=(2 + i % 3, D)).astype(np.float32),
+        )
+        for i in range(7)
+    ]
+    mb = fusion_micro_batcher(pred, max_batch=4, max_wait_ms=20)
+    futs = [mb.submit(s) for s in samples]
+    got = [f.result(timeout=30) for f in futs]
+    mb.close()
+    for (im, tx), g in zip(samples, got):
+        ref = pred.predict(
+            im[None], tx[None],
+            img_lengths=np.asarray([im.shape[0]]),
+            txt_lengths=np.asarray([tx.shape[0]]),
+        )[0]
+        np.testing.assert_allclose(g, ref, atol=1e-4)
+
+
+def test_micro_batcher_coalesces_requests():
+    """Concurrent submissions must be served in fewer predict calls than
+    requests (the whole point of the batcher)."""
+    import time
+
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    calls = []
+
+    def predict_batch(samples):
+        calls.append(len(samples))
+        time.sleep(0.01)
+        return [s * 2 for s in samples]
+
+    mb = MicroBatcher(predict_batch, max_batch=16, max_wait_ms=50)
+    futs = [mb.submit(i) for i in range(12)]
+    assert [f.result(timeout=10) for f in futs] == [i * 2 for i in range(12)]
+    mb.close()
+    assert sum(calls) == 12
+    assert len(calls) < 12, calls  # actually batched
+
+
+def test_micro_batcher_error_propagation_and_close():
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    def boom(samples):
+        raise RuntimeError("backend down")
+
+    mb = MicroBatcher(boom, max_batch=4, max_wait_ms=5)
+    fut = mb.submit(1)
+    try:
+        fut.result(timeout=10)
+        raised = False
+    except RuntimeError as e:
+        raised = "backend down" in str(e)
+    assert raised
+    mb.close()
+    try:
+        mb.submit(2)
+        closed_rejects = False
+    except RuntimeError:
+        closed_rejects = True
+    assert closed_rejects
+
+
+def test_micro_batcher_respects_max_batch():
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    calls = []
+
+    def predict_batch(samples):
+        calls.append(len(samples))
+        return samples
+
+    mb = MicroBatcher(predict_batch, max_batch=3, max_wait_ms=100)
+    futs = [mb.submit(i) for i in range(9)]
+    [f.result(timeout=10) for f in futs]
+    mb.close()
+    assert max(calls) <= 3

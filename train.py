@@ -84,6 +84,14 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--fast_decode", action="store_true",
                         help="JPEG DCT-scaled decode (~2x host pipeline; "
                              "slightly different resample than torchvision)")
+    parser.add_argument("--batch_decode", action="store_true",
+                        help="decode images at collate time in one native "
+                             "C++ thread-pool call (GIL-free; scales with "
+                             "host cores)")
+    parser.add_argument("--device_prefetch", action="store_true",
+                        help="background-thread host->device transfer of "
+                             "upcoming batches (overlaps with the running "
+                             "step)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
@@ -186,6 +194,7 @@ def main():
             sample_size=args.sample_size,
             seed=args.seed,
             fast_decode=args.fast_decode,
+            batch_decode=args.batch_decode,
         )
         args.n_classes = n_classes
         total_steps = len(train) / args.gradient_accumulation_steps * args.n_epochs
@@ -327,6 +336,7 @@ def main():
         size_fn=setup.size_fn,
         verbose=True,
         put_batch_fn=put_batch,
+        device_prefetch=args.device_prefetch,
     )
     trainer.train_loop(
         train,
