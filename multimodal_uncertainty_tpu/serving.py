@@ -409,3 +409,65 @@ def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
 
     return MicroBatcher(predict_batch, max_batch=max_batch,
                         max_wait_ms=max_wait_ms)
+
+
+def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
+                       max_wait_ms: float = 5.0,
+                       pad_multiple: int = 32) -> MicroBatcher:
+    """MicroBatcher over an MMBTPredictor. Each sample is
+    ``(token_ids, segment, image)`` — the JsonlDataset row convention
+    (variable-length text, (H, W, 3) image); text pads to the coalesced
+    batch's max length rounded up to ``pad_multiple`` (bounds the compiled
+    shape count), mask marks real tokens."""
+
+    def predict_batch(samples):
+        n = len(samples)
+        lt = _round_up(max(len(s[0]) for s in samples), pad_multiple)
+        txt = np.zeros((n, lt), np.int64)
+        seg = np.zeros((n, lt), np.int64)
+        mask = np.zeros((n, lt), np.int64)
+        img = np.stack([s[2] for s in samples])
+        for i, (ids, segment, _) in enumerate(samples):
+            txt[i, : len(ids)] = ids
+            seg[i, : len(ids)] = segment
+            mask[i, : len(ids)] = 1
+        return list(predictor.predict(txt, mask, seg, img))
+
+    return MicroBatcher(predict_batch, max_batch=max_batch,
+                        max_wait_ms=max_wait_ms)
+
+
+def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
+                       max_wait_ms: float = 5.0,
+                       pad_multiple: int = 8) -> MicroBatcher:
+    """MicroBatcher over a ViltPredictor. Each sample is a per-sample
+    processor dict (``input_ids``/``attention_mask``/``token_type_ids``
+    of length L, ``pixel_values`` (H, W, 3), optional ``pixel_mask``);
+    text pads to the coalesced batch's max length rounded up to
+    ``pad_multiple``."""
+
+    text_keys = ("input_ids", "attention_mask", "token_type_ids")
+
+    def predict_batch(samples):
+        n = len(samples)
+        lt = _round_up(
+            max(len(s["input_ids"]) for s in samples), pad_multiple
+        )
+        batch = {}
+        for k in text_keys:
+            rows = np.zeros((n, lt), np.int64)
+            for i, s in enumerate(samples):
+                if k in s:
+                    rows[i, : len(s[k])] = s[k]
+            batch[k] = rows
+        batch["pixel_values"] = np.stack(
+            [np.asarray(s["pixel_values"]) for s in samples]
+        )
+        if all("pixel_mask" in s for s in samples):
+            batch["pixel_mask"] = np.stack(
+                [np.asarray(s["pixel_mask"]) for s in samples]
+            )
+        return list(predictor.predict(batch))
+
+    return MicroBatcher(predict_batch, max_batch=max_batch,
+                        max_wait_ms=max_wait_ms)

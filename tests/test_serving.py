@@ -269,3 +269,101 @@ def test_micro_batcher_respects_max_batch():
     [f.result(timeout=10) for f in futs]
     mb.close()
     assert max(calls) <= 3
+
+
+def test_mmbt_micro_batcher_matches_direct(tmp_path):
+    from multimodal_uncertainty_tpu.serving import (
+        MMBTPredictor,
+        mmbt_micro_batcher,
+    )
+
+    model, variables, ckpt = _make_mmbt_ckpt(tmp_path)
+    pred = MMBTPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+    rng = np.random.default_rng(7)
+    lengths = [6, 4, 5]
+    samples = []
+    for L in lengths:
+        samples.append((
+            rng.integers(0, 120, size=L).astype(np.int64),
+            np.ones(L, np.int64),
+            rng.normal(size=(64, 64, 3)).astype(np.float32),
+        ))
+    mb = mmbt_micro_batcher(pred, max_batch=4, max_wait_ms=20, pad_multiple=8)
+    futs = [mb.submit(s) for s in samples]
+    got = [f.result(timeout=60) for f in futs]
+    mb.close()
+
+    # reference: the same samples padded to the adapter's length, directly
+    lt = 8
+    txt = np.zeros((3, lt), np.int64)
+    seg = np.zeros((3, lt), np.int64)
+    mask = np.zeros((3, lt), np.int64)
+    img = np.stack([s[2] for s in samples])
+    for i, (ids, segment, _) in enumerate(samples):
+        txt[i, : len(ids)] = ids
+        seg[i, : len(ids)] = segment
+        mask[i, : len(ids)] = 1
+    ref = pred.predict(txt, mask, seg, img)
+    np.testing.assert_allclose(np.stack(got), ref, atol=1e-5)
+
+
+def test_vilt_micro_batcher_matches_direct(tmp_path):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import (
+        ViltPredictor,
+        vilt_micro_batcher,
+    )
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64, image_size=64,
+        num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    n, lt = 2, 8
+    init_batch = {
+        "input_ids": rng.integers(0, 120, size=(n, lt)).astype(np.int64),
+        "attention_mask": np.ones((n, lt), np.int64),
+        "token_type_ids": np.zeros((n, lt), np.int64),
+        "pixel_values": rng.normal(size=(n, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in init_batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+    pred = ViltPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+
+    lengths = [7, 5, 8]
+    samples = []
+    for L in lengths:
+        samples.append({
+            "input_ids": rng.integers(0, 120, size=L).astype(np.int64),
+            "attention_mask": np.ones(L, np.int64),
+            "token_type_ids": np.zeros(L, np.int64),
+            "pixel_values": rng.normal(size=(64, 64, 3)).astype(np.float32),
+        })
+    mb = vilt_micro_batcher(pred, max_batch=4, max_wait_ms=20, pad_multiple=8)
+    futs = [mb.submit(s) for s in samples]
+    got = [f.result(timeout=60) for f in futs]
+    mb.close()
+
+    padded = {
+        k: np.zeros((3, 8), np.int64)
+        for k in ("input_ids", "attention_mask", "token_type_ids")
+    }
+    for i, s in enumerate(samples):
+        for k in padded:
+            padded[k][i, : len(s[k])] = s[k]
+    padded["pixel_values"] = np.stack([s["pixel_values"] for s in samples])
+    ref = pred.predict(padded)
+    np.testing.assert_allclose(np.stack(got), ref, atol=1e-5)
