@@ -41,11 +41,16 @@ def _write_blob(state: dict, filename: str) -> None:
 
 
 def flush_pending_writes() -> None:
-    """Block until all queued checkpoint writes are on disk."""
+    """Block until all queued checkpoint writes are on disk (and any
+    queued retention pruning has run — the writer is a FIFO barrier)."""
     with _pending_lock:
         futures = list(_pending.values())
     for f in futures:
         f.result()
+    try:
+        _writer.submit(lambda: None).result()  # drain non-write tasks too
+    except RuntimeError:  # interpreter/executor shutdown (atexit path)
+        pass
 
 
 atexit.register(flush_pending_writes)
@@ -78,6 +83,13 @@ def save_weights(
     fut = _writer.submit(_write_blob, state, filename)
     with _pending_lock:
         _pending[filename] = fut
+
+
+def enqueue_after_writes(fn) -> None:
+    """Run ``fn()`` on the (single-worker, FIFO) checkpoint writer thread —
+    i.e. after every write queued so far has hit disk. Used for retention
+    pruning so it never races an in-flight async save."""
+    _writer.submit(fn)
 
 
 def load_weights(filename: str) -> Tuple[Any, Any]:

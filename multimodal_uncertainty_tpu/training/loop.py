@@ -54,8 +54,15 @@ def _save_history_csv(epoch, logs, save_path, H):
     )
 
 
-def construct_default_callbacks(H, save_path, checkpoint_monitor="val_acc"):
-    """Standard callback set (reference ``src/training_loop.py:23-47``)."""
+def construct_default_callbacks(
+    H, save_path, checkpoint_monitor="val_acc", keep_epoch_ckpts=None
+):
+    """Standard callback set (reference ``src/training_loop.py:23-47``).
+
+    ``keep_epoch_ckpts=N`` retains only the newest N ``model_epoch_{e}.pt``
+    files (``model_best_val.pt`` / ``model_last_epoch.pt`` are never
+    pruned). Default ``None`` keeps every epoch — reference parity; long
+    production runs set N to bound disk."""
     callbacks = [
         LambdaCallback(on_epoch_end=partial(_append_to_history_csv, H=H)),
         LambdaCallback(
@@ -79,9 +86,36 @@ def construct_default_callbacks(H, save_path, checkpoint_monitor="val_acc"):
             save_weights(
                 variables, opt_state, os.path.join(save_path, "model_last_epoch.pt")
             )
+            if keep_epoch_ckpts is not None:
+                # on the writer queue: runs after this epoch's async saves
+                from multimodal_uncertainty_tpu.training.checkpoint import (
+                    enqueue_after_writes,
+                )
+
+                enqueue_after_writes(
+                    partial(prune_epoch_checkpoints, save_path, keep_epoch_ckpts)
+                )
 
     callbacks.append(_SaveEveryEpoch())
     return callbacks
+
+
+def prune_epoch_checkpoints(save_path: str, keep: int) -> list:
+    """Delete all but the newest ``keep`` ``model_epoch_{e}.pt`` files
+    (by epoch number). Returns the removed paths."""
+    import re
+
+    found = []
+    for name in os.listdir(save_path):
+        m = re.fullmatch(r"model_epoch_(\d+)\.pt", name)
+        if m:
+            found.append((int(m.group(1)), name))
+    removed = []
+    for _, name in sorted(found)[: max(0, len(found) - keep)]:
+        path = os.path.join(save_path, name)
+        os.remove(path)
+        removed.append(path)
+    return removed
 
 
 # keep the reference's name importable

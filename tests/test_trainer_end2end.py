@@ -173,3 +173,47 @@ def test_flava_end2end(tmp_path, model_type, clstoken, avg_pool):
     csv = pd.read_csv(os.path.join(tmp_path, "history.csv"))
     assert "val_auc" in csv.columns and "test_auc" in csv.columns
     assert np.isfinite(csv["loss"]).all()
+
+
+def test_keep_epoch_ckpts_prunes_old_epochs(tmp_path):
+    """keep_epoch_ckpts=N retains only the newest N per-epoch checkpoints;
+    best/last files survive."""
+    import jax
+
+    from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
+    from multimodal_uncertainty_tpu.training.loop import (
+        construct_default_callbacks,
+        prune_epoch_checkpoints,
+    )
+    from multimodal_uncertainty_tpu.training.trainer import Trainer
+    from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+    train, valid, _ = get_fmnist(
+        batch_size=16, synthetic=True, synthetic_n=32, seed=5
+    )
+    setup = setup_fashionmnist(
+        model_type="Vanilla", lr=0.05, seed_key=jax.random.key(1),
+        attn_impl="xla",
+    )
+    H = {}
+    cbs = construct_default_callbacks(H, str(tmp_path), keep_epoch_ckpts=2)
+    tr = Trainer(
+        setup.bundle, setup.optimizer, setup.state, rng=jax.random.key(2),
+        plateau_scheduler=setup.plateau, size_fn=setup.size_fn, verbose=False,
+    )
+    tr.train_loop(
+        train, valid_generator=valid, test_generator=valid,
+        steps_per_epoch=len(train), epochs=4, callbacks=cbs,
+        scheduler_step_on=setup.scheduler_step_on,
+        scheduler_metric=setup.scheduler_metric,
+    )
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    epoch_files = [f for f in files if f.startswith("model_epoch_")]
+    assert epoch_files == ["model_epoch_3.pt", "model_epoch_4.pt"], files
+    assert "model_best_val.pt" in files and "model_last_epoch.pt" in files
+
+    # direct helper: pruning below zero keeps nothing extra, returns removed
+    removed = prune_epoch_checkpoints(str(tmp_path), 1)
+    assert [os.path.basename(p) for p in removed] == ["model_epoch_3.pt"]

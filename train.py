@@ -92,6 +92,10 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="background-thread host->device transfer of "
                              "upcoming batches (overlaps with the running "
                              "step)")
+    parser.add_argument("--keep_epoch_ckpts", type=int, default=None,
+                        help="retain only the newest N model_epoch_*.pt "
+                             "(best/last never pruned; default: keep all, "
+                             "reference parity)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret"])
     parser.add_argument("--bf16", action="store_true",
@@ -318,7 +322,8 @@ def main():
         logger.info("mesh: %s", dict(mesh.shape))
 
     callbacks = construct_default_callbacks(
-        H, args.save_path, checkpoint_monitor="val_acc"
+        H, args.save_path, checkpoint_monitor="val_acc",
+        keep_epoch_ckpts=args.keep_epoch_ckpts,
     )
     for clbk in callbacks:
         clbk.set_save_path(args.save_path)

@@ -29,6 +29,9 @@ def get_args(parser):
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--patience", type=int, default=10)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--keep_epoch_ckpts", type=int, default=None,
+                        help="retain only the newest N model_epoch_*.pt "
+                             "(best/last never pruned; default: keep all)")
     parser.add_argument("--multimodal_num_attention_heads", type=int, default=3)
     parser.add_argument("--multimodal_num_hidden_layers", type=int, default=3)
     parser.add_argument("--transformer", action="store_true")
@@ -107,7 +110,8 @@ def main():
         epoch_start = 1
 
     callbacks = construct_default_callbacks(
-        H, args.save_path, checkpoint_monitor="val_acc"
+        H, args.save_path, checkpoint_monitor="val_acc",
+        keep_epoch_ckpts=args.keep_epoch_ckpts,
     )
     for clbk in callbacks:
         clbk.set_save_path(args.save_path)
