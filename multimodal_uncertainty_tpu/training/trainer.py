@@ -100,6 +100,11 @@ class Trainer:
     ) -> dict:
         if steps is None:
             steps = len(generator)
+        if self.device_prefetch:
+            from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
+
+            if not isinstance(generator, DevicePrefetcher):
+                generator = DevicePrefetcher(generator, put_fn=self.put_batch)
         callback = ValidationProgressionCallback(
             phase=phase, steps=steps, metrics_names=["loss"] + self.metrics_names
         )
