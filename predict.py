@@ -27,9 +27,18 @@ def main():
                         choices=["Vanilla", "MIMO-shuffle-instance", "MultiHead"])
     parser.add_argument("--multimodal_num_attention_heads", type=int, default=3)
     parser.add_argument("--multimodal_num_hidden_layers", type=int, default=3)
+    parser.add_argument("--clstoken", action="store_true",
+                        help="checkpoint was trained with learned CLS tokens")
+    parser.add_argument("--avg_pool", action="store_true",
+                        help="checkpoint was trained with avg-pool heads")
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--out", default="predictions.csv")
     parser.add_argument("--uncertainty", action="store_true")
+    parser.add_argument("--quantize", default=None,
+                        choices=["int8", "int8_weight"],
+                        help="int8 serving: dynamic W8A8 or weight-only "
+                             "(TPU throughput/accuracy trade-offs in "
+                             "BASELINE.md)")
     args = parser.parse_args()
 
     import jax
@@ -55,6 +64,8 @@ def main():
         n_classes=n_classes,
         multimodal_num_attention_heads=args.multimodal_num_attention_heads,
         multimodal_num_hidden_layers=args.multimodal_num_hidden_layers,
+        clstoken=args.clstoken,
+        avg_pool=args.avg_pool,
         seed_key=jax.random.key(0),
     )
     predictor = FusionPredictor(
@@ -62,6 +73,7 @@ def main():
         args.checkpoint_path,
         template_variables={"params": setup.state.params},
         batch_buckets=(args.batch_size,),
+        quantize=args.quantize,
     )
 
     ds = PackedFlavaDataset(os.path.join(datapath, "flava_packed"), args.phase)

@@ -23,4 +23,24 @@ for dataset in hateful-meme-dataset food101; do
     done
   done
 done
+
+# serving CLI on trained checkpoints (fp32+uncertainty, int8, clstoken)
+name="flava_food101_MultiHead"
+python predict.py \
+  --checkpoint_path /tmp/mmu_unitest/$name/model_best_val.pt \
+  --dataset food101 --phase test --model_type MultiHead --batch_size 8 \
+  --uncertainty --out /tmp/mmu_unitest/$name/predictions.csv \
+  > unitest/out/predict_flava.txt 2> unitest/error/predict_flava.txt
+python predict.py \
+  --checkpoint_path /tmp/mmu_unitest/$name/model_best_val.pt \
+  --dataset food101 --phase test --model_type MultiHead --batch_size 8 \
+  --quantize int8_weight --out /tmp/mmu_unitest/$name/predictions_q.csv \
+  >> unitest/out/predict_flava.txt 2>> unitest/error/predict_flava.txt
+name="flava_food101_MultiHead_clstoken"
+python predict.py \
+  --checkpoint_path /tmp/mmu_unitest/$name/model_best_val.pt \
+  --dataset food101 --phase test --model_type MultiHead --clstoken \
+  --batch_size 8 --out /tmp/mmu_unitest/$name/predictions.csv \
+  >> unitest/out/predict_flava.txt 2>> unitest/error/predict_flava.txt
+
 echo "flava smoke matrix OK"
