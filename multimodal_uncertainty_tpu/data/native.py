@@ -13,6 +13,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -25,38 +26,50 @@ _LIB_PATH = os.path.join(_CSRC, "build", "libmmu_native.so")
 
 _lib = None
 _build_failed = False
+_load_lock = threading.Lock()
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
-    if _lib is not None:
+    if _lib is not None:  # fast path, no lock once loaded
         return _lib
-    if _build_failed:
-        return None
-    # Always invoke make: a no-op when build/ is current, and rebuilds a
-    # stale .so after a csrc/ source change (mtime-driven).
-    try:
-        subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        if not os.path.exists(_LIB_PATH):
-            logger.warning("native build failed (%s); using Python tokenizer", e)
+    with _load_lock:  # one builder: concurrent first callers (loader
+        # worker threads) must not race `make` relinking the .so another
+        # thread is dlopening
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        # Always invoke make: a no-op when build/ is current, and rebuilds
+        # a stale .so after a csrc/ source change (mtime-driven).
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC], check=True, capture_output=True
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            if not os.path.exists(_LIB_PATH):
+                logger.warning(
+                    "native build failed (%s); using Python tokenizer", e
+                )
+                _build_failed = True
+                return None
+            logger.warning("native rebuild failed (%s); using existing library", e)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:  # pragma: no cover
+            logger.warning("native load failed (%s)", e)
             _build_failed = True
             return None
-        logger.warning("native rebuild failed (%s); using existing library", e)
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError as e:  # pragma: no cover
-        logger.warning("native load failed (%s)", e)
-        _build_failed = True
-        return None
-    try:
-        _bind(lib)
-    except AttributeError as e:  # stale .so surviving a failed rebuild
-        logger.warning("native library missing symbols (%s); using Python", e)
-        _build_failed = True
-        return None
-    _lib = lib
-    return _lib
+        try:
+            _bind(lib)
+        except AttributeError as e:  # stale .so surviving a failed rebuild
+            logger.warning(
+                "native library missing symbols (%s); using Python", e
+            )
+            _build_failed = True
+            return None
+        _lib = lib
+        return _lib
 
 
 def _bind(lib) -> None:

@@ -312,6 +312,8 @@ class MicroBatcher:
         mb.close()
     """
 
+    _CLOSE = object()  # queue sentinel: no submit/close race, no idle polling
+
     def __init__(self, predict_batch, *, max_batch: int = 32,
                  max_wait_ms: float = 5.0):
         import queue as _queue
@@ -322,6 +324,7 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "_queue.Queue" = _queue.Queue()
         self._closed = _threading.Event()
+        self._submit_lock = _threading.Lock()
         self._thread = _threading.Thread(target=self._collect, daemon=True)
         self._thread.start()
 
@@ -329,57 +332,99 @@ class MicroBatcher:
         """Enqueue one sample; returns a concurrent.futures.Future."""
         from concurrent.futures import Future
 
-        if self._closed.is_set():
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._q.put((sample, fut))
+        # atomic closed-check + enqueue: every accepted request lands
+        # BEFORE close()'s sentinel, so none is orphaned
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((sample, fut))
         return fut
 
     def __call__(self, sample):
         return self.submit(sample).result()
 
     def close(self):
-        """Stop the collector; outstanding requests are still served."""
-        self._closed.set()
+        """Stop the collector; requests accepted before close are still
+        served (the sentinel travels the queue behind them)."""
+        with self._submit_lock:
+            already = self._closed.is_set()
+            self._closed.set()
+            if not already:
+                self._q.put(self._CLOSE)
         self._thread.join()
 
     # -- collector ---------------------------------------------------------
+    def _drain_remaining(self):
+        """Serve any requests that raced past the closed-check and landed
+        behind the sentinel, then exit."""
+        import queue as _queue
+
+        while True:
+            batch = []
+            while len(batch) < self.max_batch:
+                try:
+                    item = self._q.get_nowait()
+                except _queue.Empty:
+                    break
+                if item is not self._CLOSE:
+                    batch.append(item)
+            if not batch:
+                return
+            self._serve(batch)
+
+    def _serve(self, batch):
+        # claim the futures: cancelled ones (client gave up) drop out,
+        # live ones can no longer be cancelled mid-flight
+        samples, futures = [], []
+        for s, f in batch:
+            if f.set_running_or_notify_cancel():
+                samples.append(s)
+                futures.append(f)
+        if not samples:
+            return
+        try:
+            results = self.predict_batch(samples)
+            if len(results) != len(samples):
+                raise ValueError(
+                    f"predict_batch returned {len(results)} results "
+                    f"for {len(samples)} samples"
+                )
+        except BaseException as e:
+            for f in futures:
+                f.set_exception(e)
+        else:
+            for f, r in zip(futures, results):
+                f.set_result(r)
+
     def _collect(self):
         import queue as _queue
         import time as _time
 
         while True:
-            try:
-                first = self._q.get(timeout=0.05)
-            except _queue.Empty:
-                if self._closed.is_set():
-                    return
-                continue
+            first = self._q.get()
+            if first is self._CLOSE:
+                self._drain_remaining()
+                return
             batch = [first]
             deadline = _time.monotonic() + self.max_wait_s
+            saw_close = False
             while len(batch) < self.max_batch:
                 timeout = deadline - _time.monotonic()
                 if timeout <= 0:
                     break
                 try:
-                    batch.append(self._q.get(timeout=timeout))
+                    item = self._q.get(timeout=timeout)
                 except _queue.Empty:
                     break
-            samples = [s for s, _ in batch]
-            futures = [f for _, f in batch]
-            try:
-                results = self.predict_batch(samples)
-                if len(results) != len(samples):
-                    raise ValueError(
-                        f"predict_batch returned {len(results)} results "
-                        f"for {len(samples)} samples"
-                    )
-            except BaseException as e:
-                for f in futures:
-                    f.set_exception(e)
-                continue
-            for f, r in zip(futures, results):
-                f.set_result(r)
+                if item is self._CLOSE:
+                    saw_close = True
+                    break
+                batch.append(item)
+            self._serve(batch)
+            if saw_close:
+                self._drain_remaining()
+                return
 
 
 def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
@@ -395,9 +440,10 @@ def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
         n = len(samples)
         li = max(s[0].shape[0] for s in samples)
         lt = max(s[1].shape[0] for s in samples)
-        d = samples[0][0].shape[-1]
-        img = np.zeros((n, li, d), np.float32)
-        txt = np.zeros((n, lt, d), np.float32)
+        d_img = samples[0][0].shape[-1]
+        d_txt = samples[0][1].shape[-1]  # may differ (text_hidden_size)
+        img = np.zeros((n, li, d_img), np.float32)
+        txt = np.zeros((n, lt, d_txt), np.float32)
         il = np.zeros(n, np.int32)
         tl = np.zeros(n, np.int32)
         for i, (im, tx) in enumerate(samples):
@@ -463,10 +509,16 @@ def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
         batch["pixel_values"] = np.stack(
             [np.asarray(s["pixel_values"]) for s in samples]
         )
-        if all("pixel_mask" in s for s in samples):
-            batch["pixel_mask"] = np.stack(
-                [np.asarray(s["pixel_mask"]) for s in samples]
-            )
+        if any("pixel_mask" in s for s in samples):
+            # mixed batches: samples without a mask get all-ones — never
+            # DROP a provided mask (results must not depend on batch
+            # companions)
+            hw = batch["pixel_values"].shape[1:3]
+            batch["pixel_mask"] = np.stack([
+                np.asarray(s["pixel_mask"]) if "pixel_mask" in s
+                else np.ones(hw, np.int64)
+                for s in samples
+            ])
         return list(predictor.predict(batch))
 
     return MicroBatcher(predict_batch, max_batch=max_batch,

@@ -209,9 +209,10 @@ class Trainer:
             # is then a no-op), overlapping transfer with the running step.
             from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
 
-            train_generator = DevicePrefetcher(
-                train_generator, put_fn=self.put_batch
-            )
+            if not isinstance(train_generator, DevicePrefetcher):
+                train_generator = DevicePrefetcher(
+                    train_generator, put_fn=self.put_batch
+                )
 
         stop_training = False
         stopped_epoch, counter = 0, 0

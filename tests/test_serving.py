@@ -367,3 +367,121 @@ def test_vilt_micro_batcher_matches_direct(tmp_path):
     padded["pixel_values"] = np.stack([s["pixel_values"] for s in samples])
     ref = pred.predict(padded)
     np.testing.assert_allclose(np.stack(got), ref, atol=1e-5)
+
+
+def test_micro_batcher_survives_cancelled_futures():
+    """A caller cancelling its future (e.g. after a client-side timeout)
+    must not kill the collector thread; later requests still get served."""
+    import time
+
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    gate = []
+
+    def predict_batch(samples):
+        time.sleep(0.05)
+        gate.append(len(samples))
+        return [s + 1 for s in samples]
+
+    mb = MicroBatcher(predict_batch, max_batch=4, max_wait_ms=30)
+    f1 = mb.submit(10)
+    cancelled = f1.cancel()  # give up before the collector claims it
+    f2 = mb.submit(20)
+    assert f2.result(timeout=10) == 21  # collector alive and serving
+    if cancelled:
+        assert f1.cancelled()
+    f3 = mb.submit(30)
+    assert f3.result(timeout=10) == 31
+    mb.close()
+
+
+def test_micro_batcher_close_serves_accepted_requests():
+    """Every request accepted by submit() before close() must resolve."""
+    import threading
+
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    def predict_batch(samples):
+        return [s * 3 for s in samples]
+
+    mb = MicroBatcher(predict_batch, max_batch=64, max_wait_ms=1)
+    futs = []
+
+    def submitter():
+        for i in range(50):
+            try:
+                futs.append((i, mb.submit(i)))
+            except RuntimeError:
+                return  # closed: acceptable, just must not hang
+
+    t = threading.Thread(target=submitter)
+    t.start()
+    mb.close()
+    t.join()
+    for i, f in futs:
+        assert f.result(timeout=10) == i * 3  # accepted => served
+
+
+def test_vilt_micro_batcher_mixed_pixel_mask(tmp_path):
+    """A sample WITH a pixel_mask keeps it even when coalesced with
+    maskless companions (results must not depend on batch composition)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import (
+        ViltPredictor,
+        vilt_micro_batcher,
+    )
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64, image_size=64,
+        num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(2)
+    lt = 8
+    init_batch = {
+        "input_ids": rng.integers(0, 120, size=(1, lt)).astype(np.int64),
+        "attention_mask": np.ones((1, lt), np.int64),
+        "token_type_ids": np.zeros((1, lt), np.int64),
+        "pixel_values": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in init_batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+    pred = ViltPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+
+    def sample(with_mask):
+        s = {
+            "input_ids": rng.integers(0, 120, size=lt).astype(np.int64),
+            "attention_mask": np.ones(lt, np.int64),
+            "token_type_ids": np.zeros(lt, np.int64),
+            "pixel_values": rng.normal(size=(64, 64, 3)).astype(np.float32),
+        }
+        if with_mask:
+            m = np.ones((64, 64), np.int64)
+            m[32:] = 0  # mask out the bottom half
+            s["pixel_mask"] = m
+        return s
+
+    masked = sample(True)
+    plain = sample(False)
+
+    # solo prediction of the masked sample = ground truth
+    solo_mb = vilt_micro_batcher(pred, max_batch=1, max_wait_ms=1)
+    solo = solo_mb(masked)
+    solo_mb.close()
+
+    mb = vilt_micro_batcher(pred, max_batch=4, max_wait_ms=50)
+    futs = [mb.submit(masked), mb.submit(plain)]
+    got = [f.result(timeout=60) for f in futs]
+    mb.close()
+    np.testing.assert_allclose(got[0], solo, atol=1e-5)
