@@ -15,10 +15,12 @@ TPU-native internals so migration is a changed import path:
 constructor takes a ModelBundle + Optimizer + TrainState instead of torch
 objects — use the :mod:`multimodal_uncertainty_tpu.zoo` factories).
 
-``StepIterator`` replicates the reference's standalone aggregation helper
-(``src/framework.py:35-95``): wraps a batch generator, keeps size-weighted
-running means of loss/metrics, collects extra per-step fields, and fires
-batch callbacks.
+``StepIterator`` covers the contract of the reference's standalone
+aggregation helper (``src/framework.py:35-95``): wrap a batch generator,
+expose size-weighted means of loss/metrics, collect extra per-step fields,
+and fire batch callbacks. The implementation here is this repo's own —
+per-step records aggregated lazily with ``np.average`` instead of the
+reference's mutable running sums.
 """
 from __future__ import annotations
 
@@ -29,71 +31,85 @@ import numpy as np
 
 from multimodal_uncertainty_tpu.training.trainer import Trainer as Model_  # noqa: F401,N812
 
+_CORE_FIELDS = frozenset({"loss", "metrics", "number", "size"})
+
 
 def cycle(iterable):
+    """Endlessly re-iterate `iterable` (must be re-iterable, e.g. a loader)."""
     while True:
-        for x in iterable:
-            yield x
+        yield from iterable
 
 
 def _get_step_iterator(steps, generator):
-    count_iterator = range(1, steps + 1) if steps is not None else itertools.count(1)
-    generator = cycle(generator) if steps is not None else generator
-    return zip(count_iterator, generator)
+    """(1-based step index, batch) pairs; bounded + cycling when `steps` is
+    given, unbounded passthrough otherwise."""
+    if steps is None:
+        return enumerate(generator, start=1)
+    return zip(range(1, steps + 1), cycle(generator))
 
 
 class StepIterator:
-    """Size-weighted running-mean aggregator over a batch generator."""
+    """Per-epoch batch driver + size-weighted aggregator (compat shim).
+
+    Usage contract (same as the reference helper): iterate ``(step, batch)``
+    pairs, fill ``step["loss"] / step["size"] / step["metrics"]`` (plus any
+    extra fields) inside the loop body; afterwards read ``.loss``,
+    ``.metrics`` and ``.extra_lists``. Batch callbacks fire around each step
+    with the reference's log keys (batch/size/time/batch_begin_time/loss +
+    per-metric entries).
+    """
 
     def __init__(self, generator, steps_per_epoch, callback, metrics_names):
         self.generator = generator
         self.steps_per_epoch = steps_per_epoch
         self.callback = callback
         self.metrics_names = list(metrics_names)
-
-        self.losses_sum = 0.0
-        self.metrics_sum = np.zeros(len(self.metrics_names))
-        self.sizes_sum = 0.0
+        # one (size, loss, metric-vector) record per completed step;
+        # aggregates are computed lazily from these
+        self._records: list = []
         self.extra_lists: dict = {}
-        self.defaultfields = ["loss", "metrics", "number", "size"]
 
     @property
     def loss(self):
-        return self.losses_sum / self.sizes_sum if self.sizes_sum != 0 else 0
+        if not self._records:
+            return 0
+        sizes, losses, _ = zip(*self._records)
+        return float(np.average(losses, weights=sizes))
 
     @property
     def metrics(self):
-        if self.sizes_sum == 0:
-            return dict(zip(self.metrics_names, np.zeros(len(self.metrics_names))))
-        return dict(zip(self.metrics_names, self.metrics_sum / self.sizes_sum))
+        if not self._records:
+            values = np.zeros(len(self.metrics_names))
+        else:
+            sizes, _, mats = zip(*self._records)
+            values = np.average(np.stack(mats), axis=0, weights=sizes)
+        return dict(zip(self.metrics_names, values))
+
+    def _record(self, step):
+        self._records.append(
+            (step["size"], step["loss"], np.asarray(step["metrics"], float))
+        )
+        for key, value in step.items():
+            if key not in _CORE_FIELDS:
+                self.extra_lists.setdefault(key, []).append(value)
 
     def __iter__(self):
-        for batch_ind, data in _get_step_iterator(self.steps_per_epoch, self.generator):
-            batch_begin_time = timeit.default_timer()
-            self.callback.on_batch_begin(batch_ind, {})
-            self.callback.on_forward_begin(batch_ind, data)
+        for number, batch in _get_step_iterator(self.steps_per_epoch,
+                                                self.generator):
+            t0 = timeit.default_timer()
+            self.callback.on_batch_begin(number, {})
+            self.callback.on_forward_begin(number, batch)
 
-            step_data = {"number": batch_ind}
-            yield step_data, data
+            step = {"number": number}
+            yield step, batch
 
-            self.losses_sum += step_data["loss"] * step_data["size"]
-            self.metrics_sum += np.asarray(step_data["metrics"]) * step_data["size"]
-            self.sizes_sum += step_data["size"]
-
-            metrics_dict = dict(zip(self.metrics_names, step_data["metrics"]))
-            for key, value in step_data.items():
-                if key not in self.defaultfields:
-                    self.extra_lists.setdefault(key, []).append(value)
-
-            batch_total_time = timeit.default_timer() - batch_begin_time
-            self.callback.on_batch_end(
-                batch_ind,
-                {
-                    "batch": batch_ind,
-                    "size": step_data["size"],
-                    "time": batch_total_time,
-                    "batch_begin_time": batch_begin_time,
-                    "loss": step_data["loss"],
-                    **metrics_dict,
-                },
-            )
+            self._record(step)
+            logs = {
+                "batch": number,
+                "size": step["size"],
+                "time": timeit.default_timer() - t0,
+                "batch_begin_time": t0,
+                "loss": step["loss"],
+            }
+            logs.update(zip(self.metrics_names, step["metrics"]))
+            self.callback.on_batch_end(number, logs)

@@ -27,12 +27,15 @@ modality-ablation without dynamic shapes.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger(__name__)
 
 NEG_INF = -1e30
 
@@ -201,8 +204,7 @@ def _bwd_heads_per_block(h: int, s: int, dh: int) -> int:
     return best
 
 
-def _sdpa_pallas_bwd(interpret, res, grad):
-    q, k, v, mask_i32 = res
+def _sdpa_bwd_impl(q, k, v, mask_i32, grad, interpret):
     b, h, s, dh = q.shape
     scale = 1.0 / (dh**0.5)
     g_heads = _bwd_heads_per_block(h, s, dh)
@@ -234,6 +236,12 @@ def _sdpa_pallas_bwd(interpret, res, grad):
             transcendentals=b * h * s * s,
         ),
     )(q, k, v, mask_i32, grad)
+    return dq, dk, dv
+
+
+def _sdpa_pallas_bwd(interpret, res, grad):
+    q, k, v, mask_i32 = res
+    dq, dk, dv = _sdpa_bwd_impl(q, k, v, mask_i32, grad, interpret)
     return dq, dk, dv, None
 
 
@@ -326,19 +334,31 @@ def _attn_kernel_hl(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, dh):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _hl_batch_block(b, s, bw, itemsize, n_bufs, n_scores):
+def _hl_batch_block(b, s, bw, itemsize, n_bufs, n_scores, n_acc_f32=0):
     """Batch items per grid step: largest of {1,2,4,8} dividing b whose
-    VMEM footprint (double-buffered operand blocks + fp32 score planes)
-    stays within ~12MB."""
+    VMEM footprint (double-buffered operand blocks + fp32 score planes +
+    single-buffered fp32 accumulators/temporaries of the lane-masked
+    sub-head loop, ``n_acc_f32``) stays within ~12MB."""
     budget = 12 * 1024 * 1024
     best = 1
     for bb in (2, 4, 8):
         if b % bb:
             continue
-        need = n_bufs * bb * s * bw * itemsize * 2 + n_scores * bb * s * s * 4
+        need = (
+            n_bufs * bb * s * bw * itemsize * 2
+            + n_scores * bb * s * s * 4
+            + n_acc_f32 * bb * s * bw * 4
+        )
         if need <= budget:
             best = bb
     return best
+
+
+def _n_acc_f32(bw, dh, n_grad):
+    """fp32 (BB, S, BW) buffers live inside the lane-masked sub-head loop
+    (Dh < 128): the running accumulators plus one_head's return temporaries.
+    Zero when the block IS one head (no loop, output written once)."""
+    return 0 if bw == dh else 2 * n_grad
 
 
 def _hl_specs(s, bw, bb):
@@ -354,7 +374,9 @@ def _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret):
     b, s, d = q.shape
     dh = d // n_head
     bw = _hl_block_width(dh)
-    bb = _hl_batch_block(b, s, bw, q.dtype.itemsize, 4, max(1, bw // dh))
+    bb = _hl_batch_block(
+        b, s, bw, q.dtype.itemsize, 4, max(1, bw // dh), _n_acc_f32(bw, dh, 1)
+    )
     spec, mask_spec = _hl_specs(s, bw, bb)
     kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5), dh=dh)
     return pl.pallas_call(
@@ -433,13 +455,13 @@ def _sdpa_pallas_hl_fwd(q, k, v, mask_i32, n_head, interpret):
     return out, (q, k, v, mask_i32)
 
 
-def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
-    q, k, v, mask_i32 = res
+def _sdpa_hl_bwd_impl(q, k, v, mask_i32, grad, n_head, interpret):
     b, s, d = q.shape
     dh = d // n_head
     bw = _hl_block_width(dh)
     bb = _hl_batch_block(
-        b, s, bw, q.dtype.itemsize, 8, 4 * max(1, bw // dh)
+        b, s, bw, q.dtype.itemsize, 8, 4 * max(1, bw // dh),
+        _n_acc_f32(bw, dh, 3),
     )
     spec, mask_spec = _hl_specs(s, bw, bb)
     kernel = functools.partial(
@@ -462,6 +484,12 @@ def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
             transcendentals=b * n_head * s * s,
         ),
     )(q, k, v, mask_i32, grad)
+    return dq, dk, dv
+
+
+def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
+    q, k, v, mask_i32 = res
+    dq, dk, dv = _sdpa_hl_bwd_impl(q, k, v, mask_i32, grad, n_head, interpret)
     return dq, dk, dv, None
 
 
@@ -486,7 +514,9 @@ def _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret):
     d = d3 // 3
     dh = d // n_head
     bw = _hl_block_width(dh)
-    bb = _hl_batch_block(b, s, bw, qkv.dtype.itemsize, 4, max(1, bw // dh))
+    bb = _hl_batch_block(
+        b, s, bw, qkv.dtype.itemsize, 4, max(1, bw // dh), _n_acc_f32(bw, dh, 1)
+    )
     spec, mask_spec = _hl_specs(s, bw, bb)
     q_spec, k_spec, v_spec = _packed_specs(s, d, bw, bb)
     kernel = functools.partial(_attn_kernel_hl, scale=1.0 / (dh**0.5), dh=dh)
@@ -515,14 +545,14 @@ def _sdpa_pallas_packed_fwd(qkv, mask_i32, n_head, interpret):
     return out, (qkv, mask_i32)
 
 
-def _sdpa_pallas_packed_bwd(n_head, interpret, res, grad):
-    qkv, mask_i32 = res
+def _sdpa_packed_bwd_impl(qkv, mask_i32, grad, n_head, interpret):
     b, s, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_head
     bw = _hl_block_width(dh)
     bb = _hl_batch_block(
-        b, s, bw, qkv.dtype.itemsize, 8, 4 * max(1, bw // dh)
+        b, s, bw, qkv.dtype.itemsize, 8, 4 * max(1, bw // dh),
+        _n_acc_f32(bw, dh, 3),
     )
     spec, mask_spec = _hl_specs(s, bw, bb)
     q_spec, k_spec, v_spec = _packed_specs(s, d, bw, bb)
@@ -543,10 +573,195 @@ def _sdpa_pallas_packed_bwd(n_head, interpret, res, grad):
             transcendentals=b * n_head * s * s,
         ),
     )(qkv, qkv, qkv, mask_i32, grad)
-    return jnp.concatenate([dq, dk, dv], axis=-1), None
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+def _sdpa_pallas_packed_bwd(n_head, interpret, res, grad):
+    qkv, mask_i32 = res
+    return _sdpa_packed_bwd_impl(qkv, mask_i32, grad, n_head, interpret), None
 
 
 _sdpa_pallas_packed.defvjp(_sdpa_pallas_packed_fwd, _sdpa_pallas_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: GSPMD-partitioned kernels (impl="pallas_sharded").
+#
+# pallas_call is an opaque custom call — the SPMD partitioner cannot split it
+# on its own, so under a ('data','model') mesh a bare kernel would force its
+# operands replicated (an all-gather of the whole batch onto every chip).
+# jax.experimental.custom_partitioning teaches the partitioner the kernel's
+# sharding contract instead: attention is batch-local, so we partition on
+# the BATCH axes of the incoming sharding and declare every other dim
+# replicated; the partitioner inserts whatever reshards that implies (e.g.
+# an all-gather over 'model' of TP-sharded qkv lanes — megatron column-
+# parallel in_proj output) and each chip runs the unmodified Mosaic kernel
+# on its batch shard. Forward AND backward are partitioned this way (both
+# are pallas_calls), wired together with custom_vjp.
+#
+# Not routed automatically from impl="auto"/"pallas": custom_partitioning has
+# no vmap batching rule, and the robustness sweeps vmap the kernel over a
+# variant axis. Mesh users opt in via impl="pallas_sharded" (train.py does
+# this when --data_parallel/--model_parallel request a mesh);
+# "pallas_interpret_sharded" is the CPU-mesh test/dryrun mode.
+# ---------------------------------------------------------------------------
+
+
+def _batch_axes(arg_shape):
+    spec = getattr(getattr(arg_shape, "sharding", None), "spec", None)
+    if spec is not None and len(spec) > 0:
+        return spec[0]
+    return None
+
+
+def _sharding_rule(arg_ranks, out_ranks):
+    """Einsum-like shardy rule sharing ONE factor — the leading batch dim —
+    across all operands/results; every other dim is an independent factor
+    (no propagation, replicated unless `partition` says otherwise)."""
+    n = iter(range(sum(arg_ranks) + sum(out_ranks)))
+
+    def term(rank):
+        return " ".join(["b"] + [f"f{next(n)}" for _ in range(rank - 1)])
+
+    lhs = ", ".join(term(r) for r in arg_ranks)
+    rhs = ", ".join(term(r) for r in out_ranks)
+    return f"{lhs} -> {rhs}"
+
+
+def _batch_partitioned(impl, arg_ranks, out_ranks):
+    """Wrap `impl` (a pallas entry point on global shapes) so GSPMD runs it
+    per batch shard: all operands/results forced to P(batch_axes, None, ...)
+    where batch_axes is dim 0 of the first operand's incoming sharding."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cp = custom_partitioning(impl)
+
+    def shard(mesh, b, rank):
+        return NamedSharding(mesh, P(b, *([None] * (rank - 1))))
+
+    def out_shardings(mesh, b, result_shape):
+        if isinstance(result_shape, (tuple, list)):
+            return tuple(shard(mesh, b, len(r.shape)) for r in result_shape)
+        return shard(mesh, b, len(result_shape.shape))
+
+    def infer(mesh, arg_shapes, result_shape):
+        return out_shardings(mesh, _batch_axes(arg_shapes[0]), result_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes[0])
+        arg_sh = tuple(shard(mesh, b, len(a.shape)) for a in arg_shapes)
+        return mesh, impl, out_shardings(mesh, b, result_shape), arg_sh
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=_sharding_rule(arg_ranks, out_ranks),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_sharded(n_head: int, interpret: bool):
+    def fwd_impl(qkv, mask_i32):
+        return _sdpa_packed_fwd_impl(qkv, mask_i32, n_head, interpret)
+
+    def bwd_impl(qkv, mask_i32, grad):
+        return _sdpa_packed_bwd_impl(qkv, mask_i32, grad, n_head, interpret)
+
+    fwd_cp = _batch_partitioned(fwd_impl, (3, 3), (3,))
+    bwd_cp = _batch_partitioned(bwd_impl, (3, 3, 3), (3,))
+
+    @jax.custom_vjp
+    def f(qkv, mask_i32):
+        return fwd_cp(qkv, mask_i32)
+
+    def f_fwd(qkv, mask_i32):
+        return fwd_cp(qkv, mask_i32), (qkv, mask_i32)
+
+    def f_bwd(res, grad):
+        qkv, mask_i32 = res
+        return bwd_cp(qkv, mask_i32, grad), None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _hl_sharded(n_head: int, interpret: bool):
+    def fwd_impl(q, k, v, mask_i32):
+        return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+
+    def bwd_impl(q, k, v, mask_i32, grad):
+        return _sdpa_hl_bwd_impl(q, k, v, mask_i32, grad, n_head, interpret)
+
+    fwd_cp = _batch_partitioned(fwd_impl, (3, 3, 3, 3), (3,))
+    bwd_cp = _batch_partitioned(bwd_impl, (3, 3, 3, 3, 3), (3, 3, 3))
+
+    @jax.custom_vjp
+    def f(q, k, v, mask_i32):
+        return fwd_cp(q, k, v, mask_i32)
+
+    def f_fwd(q, k, v, mask_i32):
+        return fwd_cp(q, k, v, mask_i32), (q, k, v, mask_i32)
+
+    def f_bwd(res, grad):
+        q, k, v, mask_i32 = res
+        dq, dk, dv = bwd_cp(q, k, v, mask_i32, grad)
+        return dq, dk, dv, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _hf_sharded(interpret: bool):
+    """Heads-first (B, H, S, Dh) partitioned kernel — the fallback family for
+    head dims with no Mosaic-blockable heads-last layout."""
+
+    def fwd_impl(q, k, v, mask_i32):
+        return _sdpa_pallas_fwd_impl(q, k, v, mask_i32, interpret=interpret)
+
+    def bwd_impl(q, k, v, mask_i32, grad):
+        return _sdpa_bwd_impl(q, k, v, mask_i32, grad, interpret)
+
+    fwd_cp = _batch_partitioned(fwd_impl, (4, 4, 4, 3), (4,))
+    bwd_cp = _batch_partitioned(bwd_impl, (4, 4, 4, 3, 4), (4, 4, 4))
+
+    @jax.custom_vjp
+    def f(q, k, v, mask_i32):
+        return fwd_cp(q, k, v, mask_i32)
+
+    def f_fwd(q, k, v, mask_i32):
+        return fwd_cp(q, k, v, mask_i32), (q, k, v, mask_i32)
+
+    def f_bwd(res, grad):
+        q, k, v, mask_i32 = res
+        dq, dk, dv = bwd_cp(q, k, v, mask_i32, grad)
+        return dq, dk, dv, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+_SHARDED_IMPLS = ("pallas_sharded", "pallas_interpret_sharded")
+
+_warned_fallback_dh = set()
+
+
+def _warn_hl_fallback(dh: int) -> None:
+    """One-time runtime note when a head dim takes the relayout fallback
+    (measured at ~8-15% of step time on the round-2 profiles — see
+    BASELINE.md 'kernel coverage' and docs/ARCHITECTURE.md)."""
+    if dh in _warned_fallback_dh:
+        return
+    _warned_fallback_dh.add(dh)
+    logger.warning(
+        "attention: head_dim=%d has no Mosaic-blockable heads-last layout "
+        "(needs Dh %% 128 == 0 or 128 %% Dh == 0); falling back to the "
+        "(B, H, S, Dh) relayout path (~8-15%% step-time cost at this op's "
+        "round-2 profile share).", dh,
+    )
 
 
 def attention_qkv_packed(
@@ -571,12 +786,18 @@ def attention_qkv_packed(
     if impl == "xla" or bw is None or d % bw != 0:
         # No Mosaic-blockable layout for this head dim (see _hl_block_width):
         # route through the heads-first kernel / XLA attention.
+        if impl != "xla":
+            _warn_hl_fallback(dh)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         return attention_heads_last(q, k, v, key_mask, n_head=n_head, impl=impl)
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:
         mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    if impl in _SHARDED_IMPLS:
+        return _packed_sharded(n_head, impl == "pallas_interpret_sharded")(
+            qkv, mask_i32
+        )
     return _sdpa_pallas_packed(qkv, mask_i32, n_head, impl == "pallas_interpret")
 
 
@@ -606,6 +827,9 @@ def attention_heads_last(
         # XLA path, and the fallback for head dims with no Mosaic-blockable
         # packed-last-dim layout (see _hl_block_width): relayout to
         # (B, H, S, Dh) and use the heads-first kernel / XLA attention.
+        if impl != "xla":
+            _warn_hl_fallback(dh)
+
         def heads(t):
             return t.reshape(b, s, n_head, dh).transpose(0, 2, 1, 3)
 
@@ -617,6 +841,10 @@ def attention_heads_last(
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:
         mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    if impl in _SHARDED_IMPLS:
+        return _hl_sharded(n_head, impl == "pallas_interpret_sharded")(
+            q, k, v, mask_i32
+        )
     return _sdpa_pallas_hl(q, k, v, mask_i32, n_head, impl == "pallas_interpret")
 
 
@@ -654,16 +882,19 @@ def scaled_dot_product_attention(
     """Dispatching entry point. q, k, v: (B, H, S, Dh); key_mask: (B, S) bool.
 
     impl: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas',
-    'pallas_interpret' (for CPU tests of the kernel).
+    'pallas_interpret' (for CPU tests of the kernel), 'pallas_sharded' /
+    'pallas_interpret_sharded' (GSPMD batch-partitioned kernel for
+    multi-chip meshes — see the custom_partitioning section).
     """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if impl == "xla":
         return sdpa_xla(q, k, v, key_mask)
-    interpret = impl == "pallas_interpret"
     b, _, s, _ = q.shape
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:
         mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
-    return _sdpa_pallas(q, k, v, mask_i32, interpret)
+    if impl in _SHARDED_IMPLS:
+        return _hf_sharded(impl == "pallas_interpret_sharded")(q, k, v, mask_i32)
+    return _sdpa_pallas(q, k, v, mask_i32, impl == "pallas_interpret")

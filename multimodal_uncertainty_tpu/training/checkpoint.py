@@ -11,6 +11,7 @@ returns the optimizer state too so resume is exact.
 from __future__ import annotations
 
 import atexit
+import logging
 import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -88,8 +89,18 @@ def save_weights(
 def enqueue_after_writes(fn) -> None:
     """Run ``fn()`` on the (single-worker, FIFO) checkpoint writer thread —
     i.e. after every write queued so far has hit disk. Used for retention
-    pruning so it never races an in-flight async save."""
-    _writer.submit(fn)
+    pruning so it never races an in-flight async save. Exceptions are
+    logged (nothing awaits the future, so they'd otherwise vanish)."""
+
+    def guarded():
+        try:
+            fn()
+        except Exception:
+            logging.getLogger(__name__).warning(
+                "checkpoint writer task %r failed", fn, exc_info=True
+            )
+
+    _writer.submit(guarded)
 
 
 def load_weights(filename: str) -> Tuple[Any, Any]:

@@ -138,13 +138,21 @@ def load_pretrained_model(state_template_variables, checkpoint_path: str):
     return restored
 
 
-def resume_train_state(state, checkpoint_path: str):
+def resume_train_state(state, checkpoint_path: str, scheduler=None):
     """Full resume: restores params, batch_stats, optimizer state, the
-    micro-step counter and any pending gradient-accumulation buffer (fixes
-    the reference's optimizer-not-restored gap, ``train.py:269-278``)."""
+    micro-step counter, any pending gradient-accumulation buffer (fixes
+    the reference's optimizer-not-restored gap, ``train.py:269-278``) and —
+    when a plateau ``scheduler`` is passed — its decision state
+    (best/num_bad_epochs/cooldown), so a resumed run drops the LR at the
+    same epoch the uninterrupted run would."""
     import jax.numpy as jnp
 
     model_sd, opt_sd = load_weights(checkpoint_path)
+    if scheduler is not None and isinstance(opt_sd, dict) and "scheduler" in opt_sd:
+        scheduler.load_state_dict(
+            {k: type(getattr(scheduler, k))(v)
+             for k, v in opt_sd.pop("scheduler").items()}
+        )
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats

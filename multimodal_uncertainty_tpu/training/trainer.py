@@ -86,6 +86,10 @@ class Trainer:
         opt = {"opt_state": self.state.opt_state, "step": self.state.step}
         if self.state.accum_grads is not None:
             opt["accum_grads"] = self.state.accum_grads
+        if self.plateau_scheduler is not None:
+            # plateau decision state (best/num_bad_epochs/cooldown) must
+            # survive --resume or a resumed run defers/doubles the LR drop
+            opt["scheduler"] = dict(self.plateau_scheduler.state_dict())
         return variables, opt
 
     # ----------------------------------------------------------------------

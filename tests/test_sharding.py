@@ -175,6 +175,110 @@ def test_batch_sharding_spreads_over_data_axis():
     assert shard_shapes == {(16 // 4, 12, 768)}
 
 
+def test_packed_attention_custom_partitioned_on_mesh():
+    """attention_qkv_packed(impl='pallas_interpret_sharded') under a
+    ('data','model') mesh == single-device numerics, fwd AND grad — the
+    production multi-chip kernel path (VERDICT r2 next-item #1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops.attention import attention_qkv_packed
+
+    mesh = make_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(0)
+    b, s, d, h = 16, 24, 256, 2
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+
+    def loss(qkv, mask, impl):
+        out = attention_qkv_packed(qkv, mask, n_head=h, impl=impl)
+        return (out * out).sum()
+
+    ref, ref_grad = jax.value_and_grad(lambda q: loss(q, mask, "xla"))(qkv)
+
+    for spec in (P("data"), P("data", None, "model")):
+        # P(..., 'model'): TP-style lane sharding — the partitioner must
+        # gather the lanes before the batch-partitioned kernel runs.
+        qkv_s = jax.device_put(qkv, NamedSharding(mesh, spec))
+        mask_s = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        got, got_grad = jax.jit(
+            jax.value_and_grad(
+                lambda q, m: loss(q, m, "pallas_interpret_sharded")
+            )
+        )(qkv_s, mask_s)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_grad), np.asarray(ref_grad), atol=2e-4
+        )
+
+
+def test_heads_last_attention_custom_partitioned_on_mesh():
+    """attention_heads_last sharded impl (BERT/MMBT path, incl. the Dh=64
+    lane-masked sub-head kernel) == xla numerics on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
+
+    mesh = make_mesh(8, model_parallel=1)
+    rng = np.random.default_rng(1)
+    b, s, d, h = 16, 16, 128, 2  # Dh=64 -> sub-head lane masking
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+
+    def loss(q, k, v, impl):
+        out = attention_heads_last(q, k, v, mask, n_head=h, impl=impl)
+        return (out * out).sum()
+
+    ref, ref_grads = jax.value_and_grad(
+        lambda *a: loss(*a, "xla"), argnums=(0, 1, 2)
+    )(q, k, v)
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+    got, got_grads = jax.jit(
+        jax.value_and_grad(
+            lambda *a: loss(*a, "pallas_interpret_sharded"), argnums=(0, 1, 2)
+        )
+    )(qs, ks, vs)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    for g_got, g_ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-4
+        )
+
+
+def test_train_step_with_sharded_kernels_matches_xla():
+    """Full DPxTP flava train step with attn_impl='pallas_interpret_sharded'
+    produces the xla-attention loss — the dryrun/production configuration."""
+    setup_x = _setup()
+    (img, txt), y = _batch()
+    key = jax.random.key(7)
+    step_x = build_train_step(setup_x.bundle, setup_x.optimizer, donate=False)
+    _, logs_ref = step_x(setup_x.state, (jnp.asarray(img), jnp.asarray(txt)),
+                         jnp.asarray(y), key, None)
+
+    setup_p = setup_flava(
+        model_type="MIMO-shuffle-instance",
+        n_classes=4,
+        lr=1e-3,
+        n_epochs=1,
+        steps_per_epoch=1,
+        multimodal_num_hidden_layers=2,
+        multimodal_num_attention_heads=4,
+        sample_shapes=((16, 12), (16, 8)),
+        seed_key=jax.random.key(0),
+        attn_impl="pallas_interpret_sharded",
+    )
+    step_p = build_train_step(setup_p.bundle, setup_p.optimizer, donate=False)
+    mesh = make_mesh(8, model_parallel=2)
+    state = shard_state(setup_p.state, mesh, tp=True)
+    put = put_batch_fn(mesh)
+    (s_img, s_txt), s_y = put(((img, txt), y))
+    new_state, logs = step_p(state, (s_img, s_txt), s_y, key, None)
+    assert abs(float(logs["loss"]) - float(logs_ref["loss"])) < 1e-4
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_pallas_attention_under_shard_map():
     """Fused kernel runs per-shard via jax.shard_map (interpret on CPU)."""
     from multimodal_uncertainty_tpu.ops.attention import (

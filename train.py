@@ -97,7 +97,8 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                              "(best/last never pruned; default: keep all, "
                              "reference parity)")
     parser.add_argument("--attn_impl", type=str, default="auto",
-                        choices=["auto", "xla", "pallas", "pallas_interpret"])
+                        choices=["auto", "xla", "pallas", "pallas_interpret",
+                                 "pallas_sharded", "pallas_interpret_sharded"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (flava/mmbt paths)")
     # guided/random diversity training signal (training_guided.gin /
@@ -168,10 +169,15 @@ def main():
     from multimodal_uncertainty_tpu import zoo
 
     root_key = set_seed(args.seed)
-    if args.data_parallel * args.model_parallel > 1 and args.attn_impl == "auto":
-        # pallas_call doesn't auto-partition under GSPMD; use the XLA
-        # attention on multi-chip meshes until the kernel is shard_mapped.
-        args.attn_impl = "xla"
+    if args.data_parallel * args.model_parallel > 1 and args.attn_impl in (
+        "auto", "pallas"
+    ):
+        # pallas_call doesn't auto-partition under GSPMD; on meshes the
+        # kernels run through their custom_partitioning wrappers
+        # (batch-partitioned; ops/attention.py) instead.
+        args.attn_impl = (
+            "pallas_sharded" if jax.default_backend() == "tpu" else "xla"
+        )
     print(args)
 
     def load_sd(path):
@@ -296,7 +302,8 @@ def main():
     state = setup.state
     if args.resume:
         state = resume_train_state(
-            state, os.path.join(args.save_path, "model_last_epoch.pt")
+            state, os.path.join(args.save_path, "model_last_epoch.pt"),
+            scheduler=setup.plateau,
         )
         H = load_history(args.save_path)
         epoch_start = len(H["epoch"]) + 1

@@ -99,7 +99,8 @@ def main():
     state = setup.state
     if args.resume:
         state = resume_train_state(
-            state, os.path.join(args.save_path, "model_last_epoch.pt")
+            state, os.path.join(args.save_path, "model_last_epoch.pt"),
+            scheduler=setup.plateau,
         )
         H = load_history(args.save_path)
         epoch_start = len(H["epoch"]) + 1
