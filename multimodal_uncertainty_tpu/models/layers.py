@@ -54,6 +54,7 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from multimodal_uncertainty_tpu.ops.dw import dot_general_dw, use_pallas_dw
         from multimodal_uncertainty_tpu.ops.quant import current_mode, quant_dot
 
         fan_in = x.shape[-1]
@@ -61,8 +62,16 @@ class Linear(nn.Module):
             "kernel", torch_linear_kernel_init, (fan_in, self.features), self.param_dtype
         )
         xc = x.astype(self.dtype or x.dtype)
+        dw_mode = use_pallas_dw()
         if current_mode() is not None:
             y = quant_dot(xc, kernel)
+        elif dw_mode and fan_in % 128 == 0 and self.features % 128 == 0:
+            # training-path option: same forward, dW via the Pallas K-chunked
+            # kernel (ops/dw.py — the round-3 dW-wall fix)
+            y = dot_general_dw(
+                xc, kernel.astype(self.dtype or x.dtype),
+                dw_mode == "interpret",
+            )
         else:
             y = jnp.dot(xc, kernel.astype(self.dtype or x.dtype))
         if self.use_bias:

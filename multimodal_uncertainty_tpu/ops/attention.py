@@ -687,16 +687,101 @@ def _packed_sharded(n_head: int, interpret: bool):
     return f
 
 
+def _hl_head_partitioned(n_head, interpret, *, bwd):
+    """custom_partitioning for the heads-last kernel that, on top of batch
+    partitioning, KEEPS a tensor-parallel sharding of the hidden dim when
+    the local shard is whole Mosaic-blockable heads (d_local % dh == 0 and
+    d_local % bw == 0): attention is head-local, so each chip runs the
+    kernel on its own heads with ZERO collectives — the megatron pattern
+    (column-parallel q/k/v -> head-sharded attention -> row-parallel output
+    projection). Falls back to replicating the hidden dim (one gather)
+    when the shard boundary would split a head/block."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if bwd:
+        def impl_for(n_local):
+            def impl(q, k, v, mask_i32, grad):
+                return _sdpa_hl_bwd_impl(
+                    q, k, v, mask_i32, grad, n_local, interpret
+                )
+            return impl
+        n_out = 3
+        # q, k, v, grad and the outputs all share the hidden-dim factor 'd'
+        # (shardy propagates a TP sharding across them); mask shares batch.
+        rule = "b s1 d, b s2 d, b s3 d, b m1 s4, b s5 d -> b s6 d, b s7 d, b s8 d"
+    else:
+        def impl_for(n_local):
+            def impl(q, k, v, mask_i32):
+                return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_local, interpret)
+            return impl
+        n_out = 1
+        rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d"
+
+    impl = impl_for(n_head)  # global-shape trace / single-shard lowering
+
+    cp = custom_partitioning(impl)
+
+    def _d_axes(mesh, arg_shapes):
+        """TP axes on the hidden dim, kept only when each shard holds whole
+        blockable heads."""
+        q_shape = arg_shapes[0]
+        spec = getattr(getattr(q_shape, "sharding", None), "spec", None)
+        if spec is None or len(spec) < 3 or spec[2] is None:
+            return None
+        axes = spec[2] if isinstance(spec[2], tuple) else (spec[2],)
+        shards = 1
+        for a in axes:
+            shards *= mesh.shape[a]
+        d = q_shape.shape[-1]
+        dh = d // n_head
+        bw = _hl_block_width(dh)
+        if bw is None or d % shards:
+            return None
+        d_local = d // shards
+        if d_local % dh or d_local % bw:
+            return None
+        return spec[2]
+
+    def _shardings(mesh, b, d_ax):
+        qsh = NamedSharding(mesh, P(b, None, d_ax))
+        msh = NamedSharding(mesh, P(b, None, None))
+        args = (qsh, qsh, qsh, msh, qsh) if bwd else (qsh, qsh, qsh, msh)
+        res = (qsh,) * n_out if n_out > 1 else qsh
+        return args, res
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes[0])
+        d_ax = _d_axes(mesh, arg_shapes)
+        _, res = _shardings(mesh, b, d_ax)
+        return res
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes[0])
+        d_ax = _d_axes(mesh, arg_shapes)
+        args, res = _shardings(mesh, b, d_ax)
+        if d_ax is None:
+            lower = impl
+        else:
+            axes = d_ax if isinstance(d_ax, tuple) else (d_ax,)
+            shards = 1
+            for a in axes:
+                shards *= mesh.shape[a]
+            lower = impl_for(n_head // shards)
+        return mesh, lower, res, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return cp
+
+
 @functools.lru_cache(maxsize=None)
 def _hl_sharded(n_head: int, interpret: bool):
-    def fwd_impl(q, k, v, mask_i32):
-        return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_head, interpret)
-
-    def bwd_impl(q, k, v, mask_i32, grad):
-        return _sdpa_hl_bwd_impl(q, k, v, mask_i32, grad, n_head, interpret)
-
-    fwd_cp = _batch_partitioned(fwd_impl, (3, 3, 3, 3), (3,))
-    bwd_cp = _batch_partitioned(bwd_impl, (3, 3, 3, 3, 3), (3, 3, 3))
+    fwd_cp = _hl_head_partitioned(n_head, interpret, bwd=False)
+    bwd_cp = _hl_head_partitioned(n_head, interpret, bwd=True)
 
     @jax.custom_vjp
     def f(q, k, v, mask_i32):

@@ -31,8 +31,12 @@ import numpy as np
 
 class Optimizer(NamedTuple):
     init: Callable[[Any], dict]
-    # update(grads, opt_state, params) -> (param_updates, new_opt_state)
+    # update(grads, opt_state, params[, active]) -> (param_updates, new_opt_state)
     update: Callable[[Any, dict, Any], tuple]
+    # True if `update` takes a 4th arg: a params-shaped pytree of 0/1 scalars
+    # marking which leaves are trainable this step (frozen leaves must be
+    # skipped entirely — torch's `if p.grad is None: continue`)
+    supports_active: bool = False
 
 
 def _tree_zeros_like(tree):
@@ -216,52 +220,76 @@ def bert_adam(
 
     ``decay_mask`` is a pytree of bools (True = apply weight decay); defaults
     to :func:`no_decay_mask` of the params at init.
+
+    ``step`` is a PER-LEAF counter tree: pytorch_pretrained_bert's BertAdam
+    keeps ``state['step']`` per parameter and skips grad-less params
+    entirely (``if p.grad is None: continue``), so when the reference
+    freezes ``enc.img_encoder``/``enc.encoder`` for the first
+    freeze_img/freeze_txt epochs (``src/framework.py:280-285``), the frozen
+    subtree's warmup-linear schedule LAGS the live ones after unfreezing.
+    ``update(..., active)`` reproduces that: an ``active=0`` leaf gets no
+    param update, no moment update, and no step advance.
     """
     schedule = warmup_linear_schedule(lr, warmup, t_total)
 
     def init(params):
         mask = decay_mask if decay_mask is not None else no_decay_mask(params)
         return {
-            "step": jnp.zeros((), jnp.int32),
+            "step": jax.tree_util.tree_map(
+                lambda _: jnp.zeros((), jnp.int32), params
+            ),
             "mu": _tree_zeros_like(params),
             "nu": _tree_zeros_like(params),
             "lr_scale": jnp.ones((), jnp.float32),
             "decay_mask": jax.tree_util.tree_map(lambda m: np.asarray(m), mask),
         }
 
-    def update(grads, state, params):
-        # BertAdam increments state['step'] per param after its update and uses
-        # the pre-increment value in the schedule; with a global counter this
-        # is schedule(step) for step starting at 0.
-        lr_t = schedule(state["step"]) * state["lr_scale"]
+    def update(grads, state, params, active=None):
+        if active is None:
+            active = jax.tree_util.tree_map(
+                lambda _: jnp.ones((), jnp.float32), grads
+            )
+        lr_scale = state["lr_scale"]
 
-        def upd(g, p, m, v, decay):
+        def upd(g, p, m, v, decay, step, a):
             if max_grad_norm > 0:
                 gnorm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
                 g = g * jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
-            m = b1 * m + (1 - b1) * g
-            v = b2 * v + (1 - b2) * g * g
-            upd_ = m / (jnp.sqrt(v) + eps)
+            m_new = b1 * m + (1 - b1) * g
+            v_new = b2 * v + (1 - b2) * g * g
+            upd_ = m_new / (jnp.sqrt(v_new) + eps)
             if weight_decay > 0:
                 upd_ = upd_ + jnp.where(decay, weight_decay, 0.0) * p
-            return -lr_t * upd_, m, v
+            # BertAdam uses the pre-increment per-param step in the schedule
+            lr_t = schedule(step) * lr_scale
+            keep = a > 0
+            return (
+                -lr_t * a.astype(upd_.dtype) * upd_,
+                jnp.where(keep, m_new, m),
+                jnp.where(keep, v_new, v),
+                step + a.astype(jnp.int32),
+            )
 
         out = jax.tree_util.tree_map(
-            upd, grads, params, state["mu"], state["nu"], state["decay_mask"]
+            upd, grads, params, state["mu"], state["nu"],
+            state["decay_mask"], state["step"], active,
         )
         leaf = lambda x: isinstance(x, tuple)  # noqa: E731
+        pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+            lambda o: o[i], out, is_leaf=leaf
+        )
         return (
-            jax.tree_util.tree_map(lambda o: o[0], out, is_leaf=leaf),
+            pick(0),
             {
-                "step": state["step"] + 1,
-                "mu": jax.tree_util.tree_map(lambda o: o[1], out, is_leaf=leaf),
-                "nu": jax.tree_util.tree_map(lambda o: o[2], out, is_leaf=leaf),
-                "lr_scale": state["lr_scale"],
+                "step": pick(3),
+                "mu": pick(1),
+                "nu": pick(2),
+                "lr_scale": lr_scale,
                 "decay_mask": state["decay_mask"],
             },
         )
 
-    return Optimizer(init, update)
+    return Optimizer(init, update, supports_active=True)
 
 
 # ---------------------------------------------------------------------------

@@ -76,9 +76,18 @@ def build_train_step(
         )(state.params)
 
         freeze_mask_fn = None
+        opt_active = None
         if bundle.grad_mask_fn is not None and flags is not None:
             grads = bundle.grad_mask_fn(grads, flags)
             freeze_mask_fn = bundle.grad_mask_fn
+            if optimizer.supports_active:
+                # per-leaf 1/0 trainability: frozen leaves must be skipped
+                # INSIDE the optimizer too (no moment/step advance — exact
+                # BertAdam `p.grad is None: continue` semantics)
+                ones = jax.tree_util.tree_map(
+                    lambda _: jnp.ones((), jnp.float32), state.params
+                )
+                opt_active = freeze_mask_fn(ones, flags)
 
         new_batch_stats = (
             mutated.get("batch_stats") if isinstance(mutated, dict) else None
@@ -102,7 +111,14 @@ def build_train_step(
 
             def apply_branch(operand):
                 acc_grads, params, opt_state = operand
-                updates, new_opt = optimizer.update(acc_grads, opt_state, params)
+                if opt_active is None:
+                    updates, new_opt = optimizer.update(
+                        acc_grads, opt_state, params
+                    )
+                else:
+                    updates, new_opt = optimizer.update(
+                        acc_grads, opt_state, params, opt_active
+                    )
                 if freeze_mask_fn is not None:
                     updates = freeze_mask_fn(updates, flags)
                 new_params = jax.tree_util.tree_map(jnp.add, params, updates)
@@ -119,7 +135,14 @@ def build_train_step(
             )
             loss_reported = loss / accum
         else:
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            if opt_active is None:
+                updates, new_opt = optimizer.update(
+                    grads, state.opt_state, state.params
+                )
+            else:
+                updates, new_opt = optimizer.update(
+                    grads, state.opt_state, state.params, opt_active
+                )
             if freeze_mask_fn is not None:
                 # Frozen subtrees must stay bit-unchanged: torch skips
                 # grad-less params entirely, so mask weight-decay/momentum

@@ -49,13 +49,19 @@ class Setup:
     size_fn: Any = None
 
 
-def _flax_apply_fn(model, has_batch_stats: bool):
+def _flax_apply_fn(model, has_batch_stats: bool, fast_dw=False):
+    """fast_dw: False | True | "interpret" — when truthy, TRAIN-mode Linears
+    route their weight gradient through the Pallas dW kernel (ops/dw.py);
+    eval/forward paths are unchanged (no backward to accelerate)."""
+    from multimodal_uncertainty_tpu.ops.dw import pallas_dw
+
     def apply_fn(variables, x, *, train, rngs):
-        if train and has_batch_stats:
-            return model.apply(
-                variables, x, train=train, rngs=rngs, mutable=["batch_stats"]
-            )
-        return model.apply(variables, x, train=train, rngs=rngs), {}
+        with pallas_dw(fast_dw if train else False):
+            if train and has_batch_stats:
+                return model.apply(
+                    variables, x, train=train, rngs=rngs, mutable=["batch_stats"]
+                )
+            return model.apply(variables, x, train=train, rngs=rngs), {}
 
     return apply_fn
 
@@ -188,6 +194,7 @@ def setup_flava(
     attn_impl: str = "auto",
     remat: bool = False,
     dtype=jnp.float32,
+    fast_dw=False,
 ) -> Setup:
     out_dim = 1 if model_type == "Vanilla" else 2
     key = seed_key if seed_key is not None else jax.random.key(0)
@@ -222,7 +229,7 @@ def setup_flava(
         jnp.zeros((b, lt, text_hidden_size), jnp.float32),
     )
     bundle = ModelBundle(
-        apply_fn=_flax_apply_fn(model, has_batch_stats=False),
+        apply_fn=_flax_apply_fn(model, has_batch_stats=False, fast_dw=fast_dw),
         loss_fn=model.compute_loss,
         data_forming=lambda k, x, y, phase: data_forming_func_transformer(
             k, x, y, phase=phase, model_type=model_type
@@ -262,6 +269,7 @@ def setup_mmbt(
     attn_impl: str = "auto",
     dtype=None,
     remat: bool = False,
+    fast_dw=False,
     pretrained_bert_sd=None,
     pretrained_resnet_sd=None,
 ) -> Setup:
@@ -313,6 +321,8 @@ def setup_mmbt(
         return None
 
     def apply_fn(variables, x, *, train, rngs, seq_keep_mask=None):
+        from multimodal_uncertainty_tpu.ops.dw import pallas_dw
+
         txt, mask, segment, img = x
         if img.dtype == jnp.uint8:
             img = normalize_on_device(img, FOOD101_MEAN, FOOD101_STD)
@@ -320,10 +330,11 @@ def setup_mmbt(
         if seq_keep_mask is None and modality != "both":
             seq_keep_mask = _modality_mask(txt.shape[0], txt.shape[1])
         if train:
-            return model.apply(
-                variables, x, train=True, rngs=rngs, mutable=["batch_stats"],
-                seq_keep_mask=seq_keep_mask,
-            )
+            with pallas_dw(fast_dw):
+                return model.apply(
+                    variables, x, train=True, rngs=rngs,
+                    mutable=["batch_stats"], seq_keep_mask=seq_keep_mask,
+                )
         return (
             model.apply(variables, x, train=False, rngs=rngs,
                         seq_keep_mask=seq_keep_mask),

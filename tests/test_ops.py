@@ -402,3 +402,67 @@ def test_attention_kernels_bf16_match_xla_bf16():
                 np.asarray(b_, np.float32) / scale,
                 atol=3e-2,
             )
+
+
+# ---------------------------------------------------------------------------
+# Pallas dW kernel (ops/dw.py — round-3 dW-wall fix)
+# ---------------------------------------------------------------------------
+
+
+def test_dot_general_dw_exact_vs_xla():
+    """dot_general_dw: identical forward, identical dW/dx to the XLA dot —
+    including the zero-row K padding path (K not a block multiple)."""
+    from multimodal_uncertainty_tpu.ops.dw import dot_general_dw
+
+    rng = np.random.default_rng(0)
+    for k in (512, 300):  # 300 exercises the pad-to-bk path
+        x = jnp.asarray(rng.normal(size=(k, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+
+        def loss(fn):
+            return lambda x_, w_: (fn(x_, w_) ** 2).sum()
+
+        ref, (gx_r, gw_r) = jax.value_and_grad(
+            loss(jnp.dot), argnums=(0, 1))(x, w)
+        got, (gx, gw) = jax.value_and_grad(
+            loss(lambda a, b: dot_general_dw(a, b, True)), argnums=(0, 1)
+        )(x, w)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-3)
+
+
+def test_fast_dw_train_step_matches_default():
+    """A full fusion train step with fast_dw='interpret' reproduces the
+    default step's loss and parameter update."""
+    from multimodal_uncertainty_tpu.training.steps import build_train_step
+    from multimodal_uncertainty_tpu.zoo import setup_flava
+
+    def make(fast_dw):
+        return setup_flava(
+            model_type="MultiHead", n_classes=3, lr=1e-3, n_epochs=1,
+            steps_per_epoch=1, multimodal_num_hidden_layers=1,
+            multimodal_num_attention_heads=2, sample_shapes=((4, 6), (4, 5)),
+            seed_key=jax.random.key(0), attn_impl="xla", fast_dw=fast_dw,
+        )
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(4, 6, 768)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(4, 5, 768)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, size=4).astype(np.int64))
+    key = jax.random.key(2)
+
+    s_ref = make(False)
+    step_ref = build_train_step(s_ref.bundle, s_ref.optimizer, donate=False)
+    new_ref, logs_ref = step_ref(s_ref.state, (img, txt), y, key, None)
+
+    s_dw = make("interpret")
+    step_dw = build_train_step(s_dw.bundle, s_dw.optimizer, donate=False)
+    new_dw, logs_dw = step_dw(s_dw.state, (img, txt), y, key, None)
+
+    np.testing.assert_allclose(float(logs_dw["loss"]), float(logs_ref["loss"]),
+                               rtol=1e-6)
+    a = jax.tree_util.tree_leaves(new_ref.params)
+    b = jax.tree_util.tree_leaves(new_dw.params)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=2e-6)

@@ -246,6 +246,62 @@ def test_heads_last_attention_custom_partitioned_on_mesh():
         )
 
 
+def test_heads_last_attention_tp_head_sharded():
+    """Megatron TP attention: with the hidden dim 'model'-sharded on whole
+    blockable heads, the kernel runs per-shard on its local heads and the
+    OUTPUT keeps the TP sharding (zero collectives between the
+    column-parallel q/k/v and the row-parallel output projection)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
+
+    mesh = make_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(2)
+    b, s, d, h = 8, 16, 256, 2  # Dh=128 -> d_local=128 = whole head per shard
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    ref = attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+    out = jax.jit(
+        lambda a, b_, c: attention_heads_last(
+            a, b_, c, mask, n_head=h, impl="pallas_interpret_sharded"
+        )
+    )(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert "model" in str(out.sharding.spec), out.sharding  # TP preserved
+
+    # grads flow with the TP sharding kept too
+    def loss(a, b_, c):
+        o = attention_heads_last(a, b_, c, mask, n_head=h,
+                                 impl="pallas_interpret_sharded")
+        return (o * o).sum()
+
+    gq = jax.jit(jax.grad(loss))(qs, ks, vs)
+    gq_ref = jax.grad(
+        lambda a: (lambda o: (o * o).sum())(
+            attention_heads_last(a, k, v, mask, n_head=h, impl="xla")
+        )
+    )(q)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=2e-4)
+
+    # sub-head dims whose shard would SPLIT a Mosaic block must fall back
+    # (replicate + gather) and stay correct
+    d2, h2 = 128, 2  # Dh=64, d_local=64 < 128-lane block
+    q2, k2, v2 = (jnp.asarray(rng.normal(size=(b, s, d2)).astype(np.float32))
+                  for _ in range(3))
+    ref2 = attention_heads_last(q2, k2, v2, mask, n_head=h2, impl="xla")
+    q2s, k2s, v2s = (jax.device_put(t, sh) for t in (q2, k2, v2))
+    out2 = jax.jit(
+        lambda a, b_, c: attention_heads_last(
+            a, b_, c, mask, n_head=h2, impl="pallas_interpret_sharded"
+        )
+    )(q2s, k2s, v2s)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
+
+
 def test_train_step_with_sharded_kernels_matches_xla():
     """Full DPxTP flava train step with attn_impl='pallas_interpret_sharded'
     produces the xla-attention loss — the dryrun/production configuration."""

@@ -87,7 +87,8 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_decode", action="store_true",
                         help="decode images at collate time in one native "
                              "C++ thread-pool call (GIL-free; scales with "
-                             "host cores)")
+                             "host cores). Implies the --fast_decode "
+                             "DCT-scaled resample (see DEVIATIONS.md)")
     parser.add_argument("--device_prefetch", action="store_true",
                         help="background-thread host->device transfer of "
                              "upcoming batches (overlaps with the running "
@@ -112,6 +113,10 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="log expected calibration error per epoch")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer blocks (less memory)")
+    parser.add_argument("--fast_dw", action="store_true",
+                        help="route Linear weight gradients through the "
+                             "Pallas K-chunked dW kernel (ops/dw.py; TPU "
+                             "training paths; numerics identical)")
     parser.add_argument("--modality", type=str, default="both",
                         choices=["both", "image", "text"],
                         help="mmbt unimodal-baseline training (keep-mask)")
@@ -245,6 +250,7 @@ def main():
             attn_impl=args.attn_impl,
             dtype=jnp.bfloat16 if args.bf16 else None,
             remat=args.remat,
+            fast_dw=args.fast_dw,
             pretrained_bert_sd=load_sd(args.bert_weights),
             pretrained_resnet_sd=load_sd(args.resnet_weights),
         )
@@ -292,6 +298,7 @@ def main():
             attn_impl=args.attn_impl,
             remat=args.remat,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            fast_dw=args.fast_dw,
         )
     else:
         raise SystemExit("--framework is required (vilt | flava | mmbt)")
