@@ -35,7 +35,7 @@ def save_predictions(
         b = x.shape[0]
         m = x.shape[1]
         x_j, y_j = jnp.asarray(x), jnp.asarray(y)
-        x_j, y_j = data_forming(None, x_j, y_j, "eval")
+        x_j, y_j = data_forming(jax.random.key(0), x_j, y_j, "eval")
         y_hat = fwd(variables, x_j)
         if model_type == "single-model-weight-sharing":
             y_hat = y_hat.reshape(b, m, y_hat.shape[-1])

@@ -69,17 +69,19 @@ def _dw_kernel(x_ref, dy_ref, o_ref, acc_ref, *, nk):
 
 
 def _dw_blocks(k: int, din: int, dout: int, itemsize: int):
-    """(bk, bn) sized to ~12MB VMEM: fp32 (din, bn) accumulator + double-
-    buffered (bk, din) x and (bk, bn) dy blocks."""
-    budget = 12 * 1024 * 1024
-    bk = 512
-    for bn in (512, 256, 128):
-        if dout % bn:
-            continue
-        need = 4 * din * bn + 2 * itemsize * bk * (din + bn)
-        if need <= budget:
-            return bk, bn
-    return bk, 128
+    """(bk, bn) sized to ~13MB VMEM. Footprint per grid step: fp32 (din, bn)
+    accumulator + fp32 (din, bn) output block (single-buffered: its index is
+    constant across the K grid dim) + double-buffered (bk, din) x and
+    (bk, bn) dy streams."""
+    budget = 8 * 1024 * 1024
+    for bk in (512, 256):
+        for bn in (512, 256, 128):
+            if dout % bn:
+                continue
+            need = 2 * 4 * din * bn + 2 * itemsize * bk * (din + bn)
+            if need <= budget:
+                return bk, bn
+    return 256, 128
 
 
 def _dw_pallas_2d(x2d: jax.Array, dy2d: jax.Array, interpret: bool):

@@ -170,7 +170,11 @@ def build_train_step(
 def build_eval_step(bundle: ModelBundle):
     def step(state: TrainState, x, y):
         if bundle.data_forming is not None:
-            x, y = bundle.data_forming(None, x, y, "eval")
+            # Eval transforms are deterministic (every strategy is identity
+            # or key-free at phase='eval', reference src/dataset.py:30-101),
+            # but pass a real key so a future keyed eval transform gets a
+            # defined stream instead of a None crash.
+            x, y = bundle.data_forming(jax.random.key(0), x, y, "eval")
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats

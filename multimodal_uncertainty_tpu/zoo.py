@@ -393,6 +393,7 @@ def setup_vilt(
     gradient_accumulation_steps: int = 1,
     seed_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    fast_dw=False,
     pretrained_vilt_sd=None,
 ) -> Setup:
     from multimodal_uncertainty_tpu.models.vilt import (
@@ -410,11 +411,14 @@ def setup_vilt(
     plateau = ReduceLROnPlateau(mode="max", patience=lr_patience, factor=lr_factor)
 
     def apply_fn(variables, x, *, train, rngs):
+        from multimodal_uncertainty_tpu.ops.dw import pallas_dw
+
         x = dict(x)
         pv = x["pixel_values"]
         if pv.dtype == jnp.uint8:  # normalized on device (mean=std=0.5)
             x["pixel_values"] = (pv.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        out = model.apply(variables, x, train=train, rngs=rngs)
+        with pallas_dw(fast_dw if train else False):
+            out = model.apply(variables, x, train=train, rngs=rngs)
         return out.logits, {}
 
     from multimodal_uncertainty_tpu.ops.losses import plain_cross_entropy

@@ -114,9 +114,11 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer blocks (less memory)")
     parser.add_argument("--fast_dw", action="store_true",
-                        help="route Linear weight gradients through the "
-                             "Pallas K-chunked dW kernel (ops/dw.py; TPU "
-                             "training paths; numerics identical)")
+                        help="EXPERIMENTAL: route Linear weight gradients "
+                             "through the Pallas dW kernel (ops/dw.py). "
+                             "Numerics identical; measured 30%% SLOWER on "
+                             "the flagship step (breaks XLA backward "
+                             "fusions — see BASELINE.md dW-wall section)")
     parser.add_argument("--modality", type=str, default="both",
                         choices=["both", "image", "text"],
                         help="mmbt unimodal-baseline training (keep-mask)")
@@ -276,6 +278,7 @@ def main():
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             seed_key=root_key,
             attn_impl=args.attn_impl,
+            fast_dw=args.fast_dw,
             pretrained_vilt_sd=load_sd(args.vilt_weights),
         )
     elif args.framework == "flava":
