@@ -335,7 +335,8 @@ def bench_end2end_flava(batch=128, steps=5, workers=0):
     return out
 
 
-def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
+def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False,
+                      fast_decode=None, batch_decode=None):
     import tempfile
 
     import jax
@@ -346,12 +347,16 @@ def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
     from multimodal_uncertainty_tpu.zoo import setup_mmbt
     from multimodal_uncertainty_tpu.training.steps import build_train_step
 
+    if fast_decode is None:
+        fast_decode = "--fast_decode" in sys.argv
+    if batch_decode is None:
+        batch_decode = "--batch_decode" in sys.argv
     tmp = tempfile.mkdtemp(prefix="bench_raw_")
     _synth_food101_raw(tmp, n=max(2 * batch, 128))
     train, _, _, n_classes, vocab = get_food101(
         datapath=tmp, batch_size=batch, n_workers=workers, max_seq_len=512,
-        num_image_embeds=3, fast_decode="--fast_decode" in sys.argv,
-        batch_decode="--batch_decode" in sys.argv,
+        num_image_embeds=3, fast_decode=fast_decode,
+        batch_decode=batch_decode,
     )
     if tiny:
         import dataclasses as _dc
@@ -413,6 +418,8 @@ def bench_end2end_raw(batch=32, steps=4, workers=0, tiny=False):
     out["bytes_per_batch_mb"] = round(
         sum(np.asarray(a).nbytes for a in (text, segment, mask, imgs)) / 1e6, 1
     )
+    out["decode"] = ("native_batch" if batch_decode
+                     else "native_fast" if fast_decode else "pil")
     return out
 
 
@@ -508,8 +515,11 @@ def main():
         except Exception as exc:  # noqa: BLE001 — report, don't fail bench
             line["end2end_error"] = f"{type(exc).__name__}: {exc}"[:200]
         try:
+            # production decode mode (native batch decode; PIL-path numbers
+            # and the parity caveat live in BASELINE.md / DEVIATIONS.md)
             line["end2end_raw_mmbt"] = _end2end_stats(
-                lambda: bench_end2end_raw(batch=32, steps=20))
+                lambda: bench_end2end_raw(batch=32, steps=20,
+                                          fast_decode=True, batch_decode=True))
         except Exception as exc:  # noqa: BLE001
             line["end2end_raw_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(json.dumps(line))

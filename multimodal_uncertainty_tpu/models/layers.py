@@ -66,8 +66,8 @@ class Linear(nn.Module):
         if current_mode() is not None:
             y = quant_dot(xc, kernel)
         elif dw_mode and fan_in % 128 == 0 and self.features % 128 == 0:
-            # training-path option: same forward, dW via the Pallas K-chunked
-            # kernel (ops/dw.py — the round-3 dW-wall fix)
+            # opt-in (--fast_dw): same forward, dW via the Pallas K-chunked
+            # kernel. OFF by default — measured slower in-step (ops/dw.py)
             y = dot_general_dw(
                 xc, kernel.astype(self.dtype or x.dtype),
                 dw_mode == "interpret",

@@ -19,11 +19,15 @@ import numpy as np
 
 
 def _t(w) -> np.ndarray:
-    return np.asarray(w).T
+    # np.array copies: imported leaves must OWN their memory. A zero-copy
+    # view of e.g. ``tensor.numpy()`` aliases live torch parameters, and on
+    # CPU jax.device_put can keep that aliasing — a later in-place torch
+    # optimizer step would then silently rewrite the "imported" jax params.
+    return np.ascontiguousarray(np.array(w).T)
 
 
 def _conv(w) -> np.ndarray:
-    return np.asarray(w).transpose(2, 3, 1, 0)
+    return np.ascontiguousarray(np.array(w).transpose(2, 3, 1, 0))
 
 
 def _normalize_bert_keys(sd: Dict) -> Dict:
@@ -33,7 +37,7 @@ def _normalize_bert_keys(sd: Dict) -> Dict:
     for k, v in sd.items():
         k = k[len("bert."):] if k.startswith("bert.") else k
         k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
-        out[k] = np.asarray(v)
+        out[k] = np.array(v)
     return out
 
 
@@ -46,31 +50,31 @@ def convert_bert_encoder(sd: Dict, num_layers: int) -> Dict:
         layers[f"layer_{i}"] = {
             "self": {
                 "query": {"kernel": _t(sd[p + "attention.self.query.weight"]),
-                          "bias": np.asarray(sd[p + "attention.self.query.bias"])},
+                          "bias": np.array(sd[p + "attention.self.query.bias"])},
                 "key": {"kernel": _t(sd[p + "attention.self.key.weight"]),
-                        "bias": np.asarray(sd[p + "attention.self.key.bias"])},
+                        "bias": np.array(sd[p + "attention.self.key.bias"])},
                 "value": {"kernel": _t(sd[p + "attention.self.value.weight"]),
-                          "bias": np.asarray(sd[p + "attention.self.value.bias"])},
+                          "bias": np.array(sd[p + "attention.self.value.bias"])},
             },
             "attn_output_dense": {
                 "kernel": _t(sd[p + "attention.output.dense.weight"]),
-                "bias": np.asarray(sd[p + "attention.output.dense.bias"]),
+                "bias": np.array(sd[p + "attention.output.dense.bias"]),
             },
             "attn_output_LayerNorm": {
-                "weight": np.asarray(sd[p + "attention.output.LayerNorm.weight"]),
-                "bias": np.asarray(sd[p + "attention.output.LayerNorm.bias"]),
+                "weight": np.array(sd[p + "attention.output.LayerNorm.weight"]),
+                "bias": np.array(sd[p + "attention.output.LayerNorm.bias"]),
             },
             "intermediate_dense": {
                 "kernel": _t(sd[p + "intermediate.dense.weight"]),
-                "bias": np.asarray(sd[p + "intermediate.dense.bias"]),
+                "bias": np.array(sd[p + "intermediate.dense.bias"]),
             },
             "output_dense": {
                 "kernel": _t(sd[p + "output.dense.weight"]),
-                "bias": np.asarray(sd[p + "output.dense.bias"]),
+                "bias": np.array(sd[p + "output.dense.bias"]),
             },
             "output_LayerNorm": {
-                "weight": np.asarray(sd[p + "output.LayerNorm.weight"]),
-                "bias": np.asarray(sd[p + "output.LayerNorm.bias"]),
+                "weight": np.array(sd[p + "output.LayerNorm.weight"]),
+                "bias": np.array(sd[p + "output.LayerNorm.bias"]),
             },
         }
     return layers
@@ -80,15 +84,15 @@ def convert_bert_embeddings(sd: Dict) -> Tuple[Dict, Dict]:
     """Returns (tables, layernorm): embeddings tables + their LayerNorm."""
     sd = _normalize_bert_keys(sd)
     tables = {
-        "word_embeddings": np.asarray(sd["embeddings.word_embeddings.weight"]),
-        "position_embeddings": np.asarray(sd["embeddings.position_embeddings.weight"]),
-        "token_type_embeddings": np.asarray(
+        "word_embeddings": np.array(sd["embeddings.word_embeddings.weight"]),
+        "position_embeddings": np.array(sd["embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": np.array(
             sd["embeddings.token_type_embeddings.weight"]
         ),
     }
     ln = {
-        "weight": np.asarray(sd["embeddings.LayerNorm.weight"]),
-        "bias": np.asarray(sd["embeddings.LayerNorm.bias"]),
+        "weight": np.array(sd["embeddings.LayerNorm.weight"]),
+        "bias": np.array(sd["embeddings.LayerNorm.bias"]),
     }
     return tables, ln
 
@@ -98,7 +102,7 @@ def convert_bert_pooler(sd: Dict) -> Dict:
     return {
         "dense": {
             "kernel": _t(sd["pooler.dense.weight"]),
-            "bias": np.asarray(sd["pooler.dense.bias"]),
+            "bias": np.array(sd["pooler.dense.bias"]),
         }
     }
 
@@ -114,14 +118,14 @@ def convert_resnet_trunk(sd: Dict, layers=(3, 8, 36, 3)) -> Tuple[Dict, Dict]:
     def put_bn(dst_p, dst_s, name, tkey):
         dst_p[name] = {
             "bn": {
-                "scale": np.asarray(sd[tkey + ".weight"]),
-                "bias": np.asarray(sd[tkey + ".bias"]),
+                "scale": np.array(sd[tkey + ".weight"]),
+                "bias": np.array(sd[tkey + ".bias"]),
             }
         }
         dst_s[name] = {
             "bn": {
-                "mean": np.asarray(sd[tkey + ".running_mean"]),
-                "var": np.asarray(sd[tkey + ".running_var"]),
+                "mean": np.array(sd[tkey + ".running_mean"]),
+                "var": np.array(sd[tkey + ".running_var"]),
             }
         }
 
@@ -210,7 +214,7 @@ def convert_vilt(sd: Dict, num_layers: int = 12) -> Dict:
       vilt.layernorm -> vilt/ln_post ; vilt.pooler.dense -> vilt/pooler
       classifier.{0,1,3} -> cls_fc / cls_ln / cls_out
     """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = {k: np.array(v) for k, v in sd.items()}
     e = "vilt.embeddings."
     vilt: Dict = {
         "word_embeddings": sd[e + "text_embeddings.word_embeddings.weight"],

@@ -16,6 +16,14 @@ run at ~peak). Enabled per-call (``Linear`` consults
 :func:`use_pallas_dw`); numerics are identical to XLA's (bf16 MXU operands,
 fp32 accumulation) and exactness is tested in tests/test_ops.py.
 
+**Measured verdict (round 3): OFF by default.** The isolated win does not
+transfer to the training step — flagship bench with every Linear routed
+through this kernel measured -30% (2,192 vs 3,152 samples/s/chip): each
+opaque custom call forces its activation-sized cotangent to materialize in
+HBM where XLA otherwise keeps it fused into the surrounding backward ops.
+Kept in-tree as a documented negative result and for shapes/fusion regimes
+where XLA's scheduling may differ; see BASELINE.md "dW-wall attack".
+
 K (=B*S rows) is padded to the K-block multiple with zero rows when needed —
 zero rows contribute nothing to x^T dy, so padding is exact.
 """
@@ -118,12 +126,6 @@ def _dw_pallas_2d(x2d: jax.Array, dy2d: jax.Array, interpret: bool):
             transcendentals=0,
         ),
     )(x2d, dy2d)
-
-
-def _supported(din: int, dout: int) -> bool:
-    # Mosaic wants 128-lane-aligned minor dims; every transformer Linear in
-    # this framework satisfies this (768/3072/2048/1024...).
-    return din % 128 == 0 and dout % 128 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -224,3 +224,21 @@ def test_resnet_trunk_matches_torch_numerics():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_imported_leaves_own_their_memory():
+    """Regression: importers must COPY tensors, not view them. Converting a
+    live ``tensor.numpy()`` state dict zero-copy would alias torch parameter
+    storage — a later in-place torch optimizer step silently rewrites the
+    "imported" jax params (observed: ViLT AdamW golden diverging at step 0
+    because the torch replica stepped first)."""
+    rng = np.random.default_rng(3)
+    sd = _fake_torchvision_sd(rng)
+    params, stats = convert_resnet_trunk(sd, LAYERS)
+    before = np.array(params["conv1"]["conv"]["kernel"])
+    var_before = np.array(stats["layer4_0"]["bn3"]["bn"]["var"])
+    # in-place mutation of the source state dict (what torch.optim does)
+    sd["conv1.weight"] += 1.0
+    sd["layer4.0.bn3.running_var"] *= 5.0
+    np.testing.assert_array_equal(params["conv1"]["conv"]["kernel"], before)
+    np.testing.assert_array_equal(stats["layer4_0"]["bn3"]["bn"]["var"], var_before)
