@@ -585,6 +585,436 @@ _sdpa_pallas_packed.defvjp(_sdpa_pallas_packed_fwd, _sdpa_pallas_packed_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Flash (sequence-blocked) kernels: long-context coverage.
+#
+# The whole-sequence kernels above keep the full (S, S) score plane of a
+# head in VMEM — the right call at the reference's S <= 512 (SURVEY §5:
+# sequences are short), but impossible past S ~ 1k: the score plane alone
+# is 16 MB fp32 at S = 2048, 67 MB at S = 4096, and the XLA fallback
+# materializes B·H·S² in HBM (25 GB for a 12-head batch-8 model at S=8192).
+# These kernels instead stream K/V in KC-wide chunks with the online-softmax
+# recurrence (running row max m, denominator l, output accumulator), so VMEM
+# holds only a (BQ, KC) score tile — the SURVEY §5 "blockwise attention"
+# long-context stretch goal.
+#
+# Layout follows the heads-last family: (B, S, D) operands, one (or, via
+# the lane-masked sub-head trick, 128//Dh) heads per 128-lane block, grid
+# (batch, head-group, q-block) with q innermost so the full-sequence K/V
+# blocks stay VMEM-resident across q steps. The forward emits, alongside
+# the output, the per-row log-sum-exp L = m + log l in a lane-broadcast
+# (B, S, 128·n_groups) fp32 tensor (sub-head j's L occupies its own Dh
+# lanes — extraction in the backward is a masked lane-mean, no transposes).
+# The backward recomputes probabilities p = exp(s - L) chunkwise in two
+# passes: dQ on the q-block grid, dK/dV on a k-block grid, with
+# delta = rowsum(dO ∘ O) precomputed in XLA (it fuses into surrounding
+# elementwise ops). Same dtype strategy as every kernel here: MXU operands
+# in the input dtype, fp32 accumulation and softmax math.
+#
+# Envelope: the dK/dV pass keeps full-S Q/dO/L/delta resident, which caps
+# S at ~4k (bf16, Dh<=128) on a 16 MB-VMEM core; past that the tile search
+# fails and dispatch falls back (streaming those residuals with manual DMA
+# is the documented next extension). Routing: the heads-last entry points
+# auto-escalate to flash when the whole-seq VMEM budget fails, and pad S to
+# a 128-multiple when needed (masked keys / sliced rows — exact, and the
+# pad/slice VJP zeroes the padded rows' gradient contributions).
+# ---------------------------------------------------------------------------
+
+
+_WHOLE_SEQ_VMEM_CAP = 14 * 1024 * 1024  # test hook: lowered to force flash
+
+
+def _hl_whole_seq_fits(b, s, bw, dh, itemsize) -> bool:
+    """Whether the whole-sequence heads-last kernels' worst pass (the
+    backward) fits VMEM at bb=1. ``_hl_batch_block`` answers "how many batch
+    items", silently returning 1 even when bb=1 is already over budget —
+    this is the companion predicate that catches that case."""
+    need = (
+        8 * s * bw * itemsize * 2
+        + 4 * max(1, bw // dh) * s * s * 4
+        + _n_acc_f32(bw, dh, 3) * s * bw * 4
+    )
+    return need <= _WHOLE_SEQ_VMEM_CAP
+
+
+def _flash_tiles(s, bw, dh, itemsize):
+    """(BQ, KC) tile sizes for the flash kernels, or None when S is not a
+    128-multiple or the worst kernel (dK/dV: full-S q/grad/lse/delta
+    resident) cannot fit VMEM. Prefers the largest tile area."""
+    if s % 128 or s == 0:
+        return None
+    subhead = 2 if bw != dh else 1  # lane-masked loop doubles live temporaries
+    budget = 12 * 1024 * 1024
+    best = None
+    for bq in (512, 256, 128):
+        if s % bq:
+            continue
+        for kc in (512, 256, 128):
+            if s % kc:
+                continue
+            need = (
+                2 * s * bw * itemsize      # q, dO (constant-index blocks)
+                + 2 * s * 128 * 4          # lse, delta
+                + s * 4                    # mask
+                + 4 * kc * bw * itemsize * 2   # k, v, dk, dv blocks (dbl-buf)
+                + 3 * bq * kc * 4 * subhead    # score / p / ds tiles
+                + 2 * kc * bw * 4 * subhead    # dk/dv fp32 accumulators
+                + 2 * bq * bw * 4 * subhead    # fwd/dq fp32 accumulators
+            )
+            if need <= budget and (best is None or bq * kc > best[0] * best[1]):
+                best = (bq, kc)
+    return best
+
+
+def _lane_masks128(dh: int):
+    """fp32 (1, 1, 128) selectors of each sub-head's lane range in the
+    lane-broadcast lse/delta layout (a single all-ones mask when Dh >= 128:
+    the whole 128-lane plane belongs to one head)."""
+    dc = min(dh, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    return [(lane // dc == j).astype(jnp.float32) for j in range(128 // dc)]
+
+
+def _pick_col(colblk, j, dh):
+    """Extract sub-head j's per-row scalar from a lane-broadcast
+    (BB, BQ, 128) block -> (BB, BQ, 1): masked lane-mean (each scalar is
+    replicated across its Dh lanes, so sum/count is exact)."""
+    dc = min(dh, 128)
+    sel = _lane_masks128(dh)[j]
+    return jnp.sum(colblk * sel, axis=-1, keepdims=True) / dc
+
+
+def _attn_kernel_flash_fwd(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                           *, scale, dh, kc):
+    q = q_ref[...]  # (BB, BQ, BW), native dtype
+    bb, bq, bw = q.shape
+    nk = k_ref.shape[1] // kc
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
+    ct_keys = (((2,), (1,)), ((0,), (0,)))   # contract the key-chunk axis
+
+    def one_head(mj):
+        qj = q if mj is None else q * mj
+
+        def body(i, carry):
+            m, l, acc = carry
+            kb = k_ref[:, pl.ds(i * kc, kc), :]
+            vb = v_ref[:, pl.ds(i * kc, kc), :]
+            if mj is not None:
+                kb = kb * mj
+                vb = vb * mj
+            bias = jnp.where(
+                mask_ref[:, :, pl.ds(i * kc, kc)] > 0, 0.0, NEG_INF
+            )  # (BB, 1, KC)
+            s_blk = jax.lax.dot_general(
+                qj, kb, ct_lanes, preferred_element_type=jnp.float32
+            ) * scale + bias  # (BB, BQ, KC) fp32
+            m_new = jnp.maximum(m, jnp.max(s_blk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(s_blk - m_new)
+            pv = jax.lax.dot_general(
+                e.astype(vb.dtype), vb, ct_keys,
+                preferred_element_type=jnp.float32,
+            )  # (BB, BQ, BW)
+            return (
+                m_new,
+                l * alpha + jnp.sum(e, axis=-1, keepdims=True),
+                acc * alpha + pv,
+            )
+
+        m0 = jnp.full((bb, bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bb, bq, 1), jnp.float32)
+        a0 = jnp.zeros((bb, bq, bw), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        l = jnp.maximum(l, 1e-30)  # fully-masked rows: no NaN (never real)
+        return acc / l, m + jnp.log(l)
+
+    if bw == dh:
+        out, lrow = one_head(None)
+        lse = jnp.broadcast_to(lrow, (bb, bq, 128))
+    else:
+        out = jnp.zeros((bb, bq, bw), jnp.float32)
+        lse = jnp.zeros((bb, bq, 128), jnp.float32)
+        for j, mj in enumerate(_lane_masks(bw, dh, q.dtype)):
+            oj, lrow = one_head(mj)
+            out = out + oj
+            lse = lse + lrow * _lane_masks128(dh)[j]
+    o_ref[...] = out.astype(o_ref.dtype)
+    lse_ref[...] = lse
+
+
+def _flash_specs(s, bw, bq):
+    """BlockSpecs shared by the fwd/dq kernels: grid (batch, group, q-block)."""
+    qspec = pl.BlockSpec((1, bq, bw), lambda bi, gi, qi: (bi, qi, gi),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s, bw), lambda bi, gi, qi: (bi, 0, gi),
+                          memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, s), lambda bi, gi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    colspec = pl.BlockSpec((1, bq, 128), lambda bi, gi, qi: (bi, qi, gi),
+                           memory_space=pltpu.VMEM)
+    return qspec, kvspec, mspec, colspec
+
+
+def _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret):
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    bq, kc = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    ng = d // bw
+    qspec, kvspec, mspec, colspec = _flash_specs(s, bw, bq)
+    kernel = functools.partial(
+        _attn_kernel_flash_fwd, scale=1.0 / (dh**0.5), dh=dh, kc=kc
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, s, 128 * ng), jnp.float32),
+        ),
+        grid=(b, ng, s // bq),
+        in_specs=[qspec, kvspec, kvspec, mspec],
+        out_specs=(qspec, colspec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * 4,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32)
+
+
+def _attn_kernel_flash_dq(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref,
+                          delta_ref, dq_ref, *, scale, dh, kc):
+    q = q_ref[...]  # (BB, BQ, BW)
+    go = g_ref[...]
+    bb, bq, bw = q.shape
+    nk = k_ref.shape[1] // kc
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))
+    ct_keys = (((2,), (1,)), ((0,), (0,)))
+
+    def one_head(qj, goj, lrow, drow):
+        def body(i, acc):
+            kb = k_ref[:, pl.ds(i * kc, kc), :]
+            vb = v_ref[:, pl.ds(i * kc, kc), :]
+            bias = jnp.where(
+                mask_ref[:, :, pl.ds(i * kc, kc)] > 0, 0.0, NEG_INF
+            )
+            s_blk = jax.lax.dot_general(
+                qj, kb, ct_lanes, preferred_element_type=jnp.float32
+            ) * scale + bias
+            p = jnp.exp(s_blk - lrow)  # (BB, BQ, KC) fp32
+            dp = jax.lax.dot_general(
+                goj, vb, ct_lanes, preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - drow)
+            return acc + jax.lax.dot_general(
+                ds.astype(kb.dtype), kb, ct_keys,
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+        return jax.lax.fori_loop(
+            0, nk, body, jnp.zeros((bb, bq, bw), jnp.float32)
+        )
+
+    lse = lse_ref[...]
+    delta = delta_ref[...]
+    if bw == dh:
+        dq = one_head(q, go, _pick_col(lse, 0, dh), _pick_col(delta, 0, dh))
+    else:
+        dq = jnp.zeros((bb, bq, bw), jnp.float32)
+        for j, mj in enumerate(_lane_masks(bw, dh, q.dtype)):
+            dq = dq + one_head(
+                q * mj, go * mj, _pick_col(lse, j, dh), _pick_col(delta, j, dh)
+            ) * mj
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+
+def _attn_kernel_flash_dkv(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref,
+                           delta_ref, dk_ref, dv_ref, *, scale, dh, qc):
+    k = k_ref[...]  # (BB, KB, BW) — this grid step's key block
+    v = v_ref[...]
+    bb, kb, bw = k.shape
+    nq = q_ref.shape[1] // qc
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (BB, 1, KB)
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))
+    ct_q = (((1,), (1,)), ((0,), (0,)))  # contract the query-chunk axis
+
+    def one_head(kj, vj, mj, j):
+        def body(i, carry):
+            dk, dv = carry
+            qb = q_ref[:, pl.ds(i * qc, qc), :]
+            gob = g_ref[:, pl.ds(i * qc, qc), :]
+            if mj is not None:
+                qb = qb * mj
+                gob = gob * mj
+            lrow = _pick_col(lse_ref[:, pl.ds(i * qc, qc), :], j, dh)
+            drow = _pick_col(delta_ref[:, pl.ds(i * qc, qc), :], j, dh)
+            s_blk = jax.lax.dot_general(
+                qb, kj, ct_lanes, preferred_element_type=jnp.float32
+            ) * scale + bias  # (BB, QC, KB)
+            p = jnp.exp(s_blk - lrow)
+            dv_new = dv + jax.lax.dot_general(
+                p.astype(gob.dtype), gob, ct_q,
+                preferred_element_type=jnp.float32,
+            )  # p^T dO: (BB, KB, BW)
+            dp = jax.lax.dot_general(
+                gob, vj, ct_lanes, preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - drow)
+            dk_new = dk + jax.lax.dot_general(
+                ds.astype(qb.dtype), qb, ct_q,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            return dk_new, dv_new
+
+        zero = jnp.zeros((bb, kb, bw), jnp.float32)
+        return jax.lax.fori_loop(0, nq, body, (zero, zero))
+
+    if bw == dh:
+        dk, dv = one_head(k, v, None, 0)
+    else:
+        dk = jnp.zeros((bb, kb, bw), jnp.float32)
+        dv = jnp.zeros_like(dk)
+        for j, mj in enumerate(_lane_masks(bw, dh, k.dtype)):
+            dkj, dvj = one_head(k * mj, v * mj, mj, j)
+            dk, dv = dk + dkj, dv + dvj
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_delta(out, grad, dh):
+    """delta = per-(row, head) rowsum(dO ∘ O), laid out lane-broadcast to
+    match the forward's lse output: (B, S, 128·n_groups) fp32. Pure XLA —
+    it fuses into the surrounding backward elementwise ops."""
+    b, s, d = out.shape
+    h = d // dh
+    dhead = jnp.sum(
+        (out.astype(jnp.float32) * grad.astype(jnp.float32)).reshape(
+            b, s, h, dh
+        ),
+        axis=-1,
+    )  # (B, S, H)
+    return jnp.repeat(dhead, min(dh, 128), axis=-1)
+
+
+def _sdpa_flash_bwd_impl(q, k, v, mask_i32, grad, out, lse, n_head, interpret):
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    bq, kc = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    ng = d // bw
+    scale = 1.0 / (dh**0.5)
+    delta = _flash_delta(out, grad, dh)
+    qspec, kvspec, mspec, colspec = _flash_specs(s, bw, bq)
+    dq = pl.pallas_call(
+        functools.partial(_attn_kernel_flash_dq, scale=scale, dh=dh, kc=kc),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, ng, s // bq),
+        in_specs=[qspec, kvspec, kvspec, mspec, qspec, colspec, colspec],
+        out_specs=qspec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * 5,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, grad, lse, delta)
+    # dK/dV: k-block grid; q/dO/lse/delta full-sequence resident
+    kbspec = pl.BlockSpec((1, kc, bw), lambda bi, gi, ki: (bi, ki, gi),
+                          memory_space=pltpu.VMEM)
+    qfull = pl.BlockSpec((1, s, bw), lambda bi, gi, ki: (bi, 0, gi),
+                         memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((1, 1, kc), lambda bi, gi, ki: (bi, 0, ki),
+                        memory_space=pltpu.VMEM)
+    colfull = pl.BlockSpec((1, s, 128), lambda bi, gi, ki: (bi, 0, gi),
+                           memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_kernel_flash_dkv, scale=scale, dh=dh, qc=bq),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b, ng, s // kc),
+        in_specs=[qfull, kbspec, kbspec, mblk, qfull, colfull, colfull],
+        out_specs=(kbspec, kbspec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * 6,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, grad, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sdpa_pallas_flash(q, k, v, mask_i32, n_head, interpret):
+    out, _ = _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+    return out
+
+
+def _sdpa_pallas_flash_fwd(q, k, v, mask_i32, n_head, interpret):
+    out, lse = _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+    return out, (q, k, v, mask_i32, out, lse)
+
+
+def _sdpa_pallas_flash_bwd(n_head, interpret, res, grad):
+    q, k, v, mask_i32, out, lse = res
+    dq, dk, dv = _sdpa_flash_bwd_impl(
+        q, k, v, mask_i32, grad, out, lse, n_head, interpret
+    )
+    return dq, dk, dv, None
+
+
+_sdpa_pallas_flash.defvjp(_sdpa_pallas_flash_fwd, _sdpa_pallas_flash_bwd)
+
+
+def attention_flash(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    n_head: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sequence-blocked (flash) attention: (B, S, D) -> (B, S, D).
+
+    Long-context entry point: pads S to a 128-multiple when needed (masked
+    keys / sliced rows, exact incl. gradients) and raises if the head dim
+    has no Mosaic-blockable layout or the tile search fails (S too long for
+    the resident-residual backward — see the section comment)."""
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    if bw is None or d % bw != 0:
+        raise ValueError(
+            f"attention_flash: head_dim={dh} has no Mosaic-blockable "
+            "heads-last layout (needs Dh % 128 == 0 or 128 % Dh == 0)"
+        )
+    pad = (-s) % 128
+    if pad:
+        zpad = ((0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, zpad) for t in (q, k, v))
+        key_mask_full = jnp.zeros((b, s + pad), bool)
+        if key_mask is None:
+            key_mask = key_mask_full.at[:, :s].set(True)
+        else:
+            key_mask = key_mask_full.at[:, :s].set(key_mask)
+    if _flash_tiles(s + pad, bw, dh, q.dtype.itemsize) is None:
+        raise ValueError(
+            f"attention_flash: S={s} exceeds the resident-residual backward "
+            "envelope for this dtype/head width (see ops/attention.py flash "
+            "section; streaming residuals via manual DMA is the extension)"
+        )
+    if key_mask is None:
+        mask_i32 = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    out = _sdpa_pallas_flash(q, k, v, mask_i32, n_head, interpret)
+    return out[:, :s] if pad else out
+
+
+# ---------------------------------------------------------------------------
 # Multi-chip: GSPMD-partitioned kernels (impl="pallas_sharded").
 #
 # pallas_call is an opaque custom call — the SPMD partitioner cannot split it
@@ -832,6 +1262,20 @@ def _hf_sharded(interpret: bool):
 _SHARDED_IMPLS = ("pallas_sharded", "pallas_interpret_sharded")
 
 _warned_fallback_dh = set()
+_warned_flash_envelope = set()
+
+
+def _warn_flash_envelope(s: int) -> None:
+    """One-time note when S exceeds even the flash kernels' backward
+    envelope and attention falls back to XLA (which materializes B·H·S²)."""
+    if s in _warned_flash_envelope:
+        return
+    _warned_flash_envelope.add(s)
+    logger.warning(
+        "attention: S=%d exceeds the flash kernels' resident-residual "
+        "backward envelope; falling back to XLA attention (HBM-heavy at "
+        "this length — see ops/attention.py flash section).", s,
+    )
 
 
 def _warn_hl_fallback(dh: int) -> None:
@@ -868,10 +1312,17 @@ def attention_qkv_packed(
     bw = _hl_block_width(dh)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "xla" or bw is None or d % bw != 0:
-        # No Mosaic-blockable layout for this head dim (see _hl_block_width):
-        # route through the heads-first kernel / XLA attention.
-        if impl != "xla":
+    if (
+        impl == "xla"
+        or bw is None
+        or d % bw != 0
+        or (impl in ("pallas", "pallas_interpret", "flash", "flash_interpret")
+            and not _hl_whole_seq_fits(b, s, bw, dh, qkv.dtype.itemsize))
+    ):
+        # No Mosaic-blockable layout for this head dim (see _hl_block_width)
+        # or the sequence is too long for the whole-seq score plane: route
+        # through heads-last (which escalates to the flash kernels) / XLA.
+        if impl != "xla" and (bw is None or d % bw != 0):
             _warn_hl_fallback(dh)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         return attention_heads_last(q, k, v, key_mask, n_head=n_head, impl=impl)
@@ -908,6 +1359,26 @@ def attention_heads_last(
     bw = _hl_block_width(dh)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if impl in ("flash", "flash_interpret"):
+        return attention_flash(
+            q, k, v, key_mask, n_head=n_head, interpret="interpret" in impl
+        )
+    if (
+        impl in ("pallas", "pallas_interpret")
+        and bw is not None
+        and d % bw == 0
+        and not _hl_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
+    ):
+        # whole-seq score plane won't fit VMEM at this S: escalate to the
+        # sequence-blocked flash kernels (or, past their backward envelope,
+        # to XLA — which will itself struggle at such S; warned once)
+        interp = impl == "pallas_interpret"
+        if _flash_tiles(s + (-s) % 128, bw, dh, q.dtype.itemsize) is not None:
+            return attention_flash(
+                q, k, v, key_mask, n_head=n_head, interpret=interp
+            )
+        _warn_flash_envelope(s)
+        impl = "xla"
     if impl == "xla" or bw is None or d % bw != 0:
         # XLA path, and the fallback for head dims with no Mosaic-blockable
         # packed-last-dim layout (see _hl_block_width): relayout to
@@ -975,7 +1446,30 @@ def scaled_dot_product_attention(
         impl = "pallas" if _on_tpu() else "xla"
     if impl == "xla":
         return sdpa_xla(q, k, v, key_mask)
-    b, _, s, _ = q.shape
+    b, h, s, dh = q.shape
+    if impl in ("pallas", "pallas_interpret", "flash", "flash_interpret"):
+        bw = _hl_block_width(dh)
+        need_flash = impl.startswith("flash") or (
+            bw is not None
+            and not _hl_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
+        )
+        if need_flash and bw is not None and _flash_tiles(
+            s + (-s) % 128, bw, dh, q.dtype.itemsize
+        ) is not None:
+            # long-S escalation: relayout to heads-last and run the
+            # sequence-blocked kernels (the relayout cost is negligible
+            # against S² attention at these lengths)
+            def last(t):
+                return t.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+            out = attention_flash(
+                last(q), last(k), last(v), key_mask, n_head=h,
+                interpret="interpret" in impl,
+            )
+            return out.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        if need_flash:
+            _warn_flash_envelope(s)
+            return sdpa_xla(q, k, v, key_mask)
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:

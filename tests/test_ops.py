@@ -466,3 +466,123 @@ def test_fast_dw_train_step_matches_default():
     b = jax.tree_util.tree_leaves(new_dw.params)
     for la, lb in zip(a, b):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=2e-6)
+
+
+# --------------------------------------------------------------------------
+# Flash (sequence-blocked) attention: long-context kernels
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dh,h", [(64, 2), (128, 2), (256, 1)])
+def test_attention_flash_matches_xla(dh, h):
+    """Online-softmax streaming kernel == whole-sequence XLA attention for
+    every Mosaic-blockable head-dim pattern (sub-head lane masking at
+    Dh=64, one head per block at Dh=128/256), with padded key masks."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_flash, attention_heads_last)
+
+    rng = np.random.default_rng(10)
+    b, s = 2, 256
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.4).at[:, 0].set(True)
+    ref = attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    out = attention_flash(q, k, v, mask, n_head=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_flash_pads_odd_sequence_lengths():
+    """S=200 is not a 128-multiple: the entry point pads with masked keys
+    and slices the rows back — results identical to the unpadded math."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_flash, attention_heads_last)
+
+    rng = np.random.default_rng(11)
+    b, s, h, dh = 2, 200, 2, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    ref = attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    out = attention_flash(q, k, v, mask, n_head=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_flash_gradients_match_xla():
+    """custom-VJP two-pass backward (dQ on the q grid, dK/dV on the k grid,
+    p recomputed from the saved log-sum-exp) == XLA autodiff, including
+    zero gradients into masked keys and padded rows."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_flash, attention_heads_last)
+
+    rng = np.random.default_rng(12)
+    for (h, dh, s) in [(2, 64, 256), (1, 256, 200)]:
+        d = h * dh
+        q, k, v = (jnp.asarray(rng.normal(size=(2, s, d)).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.asarray(rng.random((2, s)) > 0.3).at[:, 0].set(True)
+
+        def grads(fn):
+            def f(q, k, v):
+                return jnp.sum(fn(q, k, v) ** 2)
+
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        ref = grads(lambda q, k, v: attention_heads_last(
+            q, k, v, mask, n_head=h, impl="xla"))
+        out = grads(lambda q, k, v: attention_flash(
+            q, k, v, mask, n_head=h, interpret=True))
+        for a, b_ in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_attention_long_sequence_escalates_to_flash(monkeypatch):
+    """When the whole-sequence kernels' VMEM budget fails (long S), every
+    entry point must route to the flash kernels rather than emit a
+    Mosaic-uncompilable whole-seq program — forced here by dropping the
+    budget cap, verified by numerics staying XLA-exact."""
+    from multimodal_uncertainty_tpu.ops import attention as A
+
+    rng = np.random.default_rng(13)
+    b, s, h, dh = 2, 256, 2, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.4).at[:, 0].set(True)
+    ref = A.attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    monkeypatch.setattr(A, "_WHOLE_SEQ_VMEM_CAP", 1)
+    for out in (
+        A.attention_heads_last(q, k, v, mask, n_head=h, impl="pallas_interpret"),
+        A.attention_qkv_packed(jnp.concatenate([q, k, v], -1), mask,
+                               n_head=h, impl="pallas_interpret"),
+    ):
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def heads(t):
+        return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+    out_hf = A.scaled_dot_product_attention(
+        heads(q), heads(k), heads(v), mask, impl="pallas_interpret"
+    ).transpose(0, 2, 1, 3).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(out_hf), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_flash_bf16_matches_xla_bf16():
+    """Same dtype strategy as every kernel in this module: bf16 MXU
+    operands, fp32 accumulation/softmax — within bf16 output rounding of
+    the XLA einsum path on identical bf16 inputs."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_flash, attention_heads_last)
+
+    rng = np.random.default_rng(14)
+    b, s, h, dh = 2, 256, 2, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32),
+                           jnp.bfloat16) for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.4).at[:, 0].set(True)
+    ref = np.asarray(attention_heads_last(q, k, v, mask, n_head=h,
+                                          impl="xla")).astype(np.float32)
+    out = np.asarray(attention_flash(q, k, v, mask, n_head=h,
+                                     interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=1.6e-2)
