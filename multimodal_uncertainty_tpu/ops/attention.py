@@ -976,13 +976,17 @@ def attention_flash(
     *,
     n_head: int,
     interpret: bool = False,
+    sharded: bool = False,
 ) -> jax.Array:
     """Sequence-blocked (flash) attention: (B, S, D) -> (B, S, D).
 
     Long-context entry point: pads S to a 128-multiple when needed (masked
     keys / sliced rows, exact incl. gradients) and raises if the head dim
     has no Mosaic-blockable layout or the tile search fails (S too long for
-    the resident-residual backward — see the section comment)."""
+    the resident-residual backward — see the section comment). ``sharded``
+    wraps the kernels in the batch-partitioning custom_partitioning for
+    multi-chip meshes (see the multi-chip section; long-context runs are
+    DP-dominant, so TP lanes cost one gather before the kernel)."""
     b, s, d = q.shape
     dh = d // n_head
     bw = _hl_block_width(dh)
@@ -1010,7 +1014,10 @@ def attention_flash(
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
     else:
         mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
-    out = _sdpa_pallas_flash(q, k, v, mask_i32, n_head, interpret)
+    if sharded:
+        out = _flash_sharded(n_head, interpret)(q, k, v, mask_i32)
+    else:
+        out = _sdpa_pallas_flash(q, k, v, mask_i32, n_head, interpret)
     return out[:, :s] if pad else out
 
 
@@ -1259,6 +1266,43 @@ def _hf_sharded(interpret: bool):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _flash_sharded(n_head: int, interpret: bool):
+    """Batch-partitioned flash kernels for multi-chip meshes. The forward's
+    lse side-output shards on the same batch axis (dim 0 of every operand
+    and result); the hidden dim replicates — long-context meshes are
+    DP-dominant, so head-sharding flash (the `_hl_head_partitioned`
+    megatron path) is left as an extension."""
+
+    def fwd_impl(q, k, v, mask_i32):
+        return _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret)
+
+    def bwd_impl(q, k, v, mask_i32, grad, out, lse):
+        return _sdpa_flash_bwd_impl(
+            q, k, v, mask_i32, grad, out, lse, n_head, interpret
+        )
+
+    fwd_cp = _batch_partitioned(fwd_impl, (3, 3, 3, 3), (3, 3))
+    bwd_cp = _batch_partitioned(bwd_impl, (3, 3, 3, 3, 3, 3, 3), (3, 3, 3))
+
+    @jax.custom_vjp
+    def f(q, k, v, mask_i32):
+        out, _ = fwd_cp(q, k, v, mask_i32)
+        return out
+
+    def f_fwd(q, k, v, mask_i32):
+        out, lse = fwd_cp(q, k, v, mask_i32)
+        return out, (q, k, v, mask_i32, out, lse)
+
+    def f_bwd(res, grad):
+        q, k, v, mask_i32, out, lse = res
+        dq, dk, dv = bwd_cp(q, k, v, mask_i32, grad, out, lse)
+        return dq, dk, dv, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 _SHARDED_IMPLS = ("pallas_sharded", "pallas_interpret_sharded")
 
 _warned_fallback_dh = set()
@@ -1316,7 +1360,8 @@ def attention_qkv_packed(
         impl == "xla"
         or bw is None
         or d % bw != 0
-        or (impl in ("pallas", "pallas_interpret", "flash", "flash_interpret")
+        or (impl in ("pallas", "pallas_interpret", "flash",
+                     "flash_interpret") + _SHARDED_IMPLS
             and not _hl_whole_seq_fits(b, s, bw, dh, qkv.dtype.itemsize))
     ):
         # No Mosaic-blockable layout for this head dim (see _hl_block_width)
@@ -1364,7 +1409,7 @@ def attention_heads_last(
             q, k, v, key_mask, n_head=n_head, interpret="interpret" in impl
         )
     if (
-        impl in ("pallas", "pallas_interpret")
+        impl in ("pallas", "pallas_interpret") + _SHARDED_IMPLS
         and bw is not None
         and d % bw == 0
         and not _hl_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
@@ -1372,10 +1417,11 @@ def attention_heads_last(
         # whole-seq score plane won't fit VMEM at this S: escalate to the
         # sequence-blocked flash kernels (or, past their backward envelope,
         # to XLA — which will itself struggle at such S; warned once)
-        interp = impl == "pallas_interpret"
+        interp = "interpret" in impl
         if _flash_tiles(s + (-s) % 128, bw, dh, q.dtype.itemsize) is not None:
             return attention_flash(
-                q, k, v, key_mask, n_head=n_head, interpret=interp
+                q, k, v, key_mask, n_head=n_head, interpret=interp,
+                sharded=impl in _SHARDED_IMPLS,
             )
         _warn_flash_envelope(s)
         impl = "xla"
@@ -1447,7 +1493,8 @@ def scaled_dot_product_attention(
     if impl == "xla":
         return sdpa_xla(q, k, v, key_mask)
     b, h, s, dh = q.shape
-    if impl in ("pallas", "pallas_interpret", "flash", "flash_interpret"):
+    if impl in ("pallas", "pallas_interpret", "flash",
+                "flash_interpret") + _SHARDED_IMPLS:
         bw = _hl_block_width(dh)
         need_flash = impl.startswith("flash") or (
             bw is not None
@@ -1465,6 +1512,7 @@ def scaled_dot_product_attention(
             out = attention_flash(
                 last(q), last(k), last(v), key_mask, n_head=h,
                 interpret="interpret" in impl,
+                sharded=impl in _SHARDED_IMPLS,
             )
             return out.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
         if need_flash:

@@ -352,3 +352,57 @@ def test_pallas_attention_under_shard_map():
     out = jax.jit(f)(q, k, v, mask)
     ref = sdpa_xla(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_custom_partitioned_on_mesh(monkeypatch):
+    """Long-context path under a mesh: when the whole-seq budget fails
+    (forced here by dropping the cap), the sharded impls must escalate to
+    the batch-partitioned FLASH kernels — fwd and custom-VJP backward both
+    run per batch shard and match single-device XLA numerics. Also drives
+    attention_flash(sharded=True) directly with a TP-sharded hidden dim
+    (partitioner gathers the lanes before the batch-local kernel)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops import attention as A
+
+    mesh = make_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(5)
+    b, s, d, h = 16, 256, 128, 2  # Dh=64 sub-head masking, S a 128-multiple
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+
+    def loss(q, k, v, impl):
+        out = A.attention_heads_last(q, k, v, mask, n_head=h, impl=impl)
+        return (out * out).sum()
+
+    ref, ref_grads = jax.value_and_grad(
+        lambda *a: loss(*a, "xla"), argnums=(0, 1, 2)
+    )(q, k, v)
+
+    monkeypatch.setattr(A, "_WHOLE_SEQ_VMEM_CAP", 1)  # force the escalation
+    dp = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(t, dp) for t in (q, k, v))
+    got, got_grads = jax.jit(
+        jax.value_and_grad(
+            lambda *a: loss(*a, "pallas_interpret_sharded"), argnums=(0, 1, 2)
+        )
+    )(qs, ks, vs)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    for g_got, g_ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-4
+        )
+
+    # direct sharded entry with TP-sharded lanes (gather-before-kernel)
+    tp = NamedSharding(mesh, P("data", None, "model"))
+    qt, kt, vt = (jax.device_put(t, tp) for t in (q, k, v))
+    out = jax.jit(
+        lambda q, k, v: A.attention_flash(
+            q, k, v, mask, n_head=h, interpret=True, sharded=True
+        )
+    )(qt, kt, vt)
+    ref_out = A.attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=2e-5
+    )
