@@ -610,10 +610,12 @@ _sdpa_pallas_packed.defvjp(_sdpa_pallas_packed_fwd, _sdpa_pallas_packed_bwd)
 # elementwise ops). Same dtype strategy as every kernel here: MXU operands
 # in the input dtype, fp32 accumulation and softmax math.
 #
-# Envelope: the dK/dV pass keeps full-S Q/dO/L/delta resident, which caps
-# S at ~4k (bf16, Dh<=128) on a 16 MB-VMEM core; past that the tile search
-# fails and dispatch falls back (streaming those residuals with manual DMA
-# is the documented next extension). Routing: the heads-last entry points
+# Envelope: the resident kernels keep one side full-S in VMEM (fwd/dq: K,V;
+# dK/dV: Q/dO/L/delta), which caps S at ~4k (bf16, Dh<=128) on a 16 MB-VMEM
+# core; past that the impls fall through to the STREAMING kernels (next
+# section) which hold only per-chunk blocks — S is then unbounded at the
+# flash-standard cost of re-reading the q-side operands once per key chunk.
+# Routing: the heads-last entry points
 # auto-escalate to flash when the whole-seq VMEM budget fails, and pad S to
 # a 128-multiple when needed (masked keys / sliced rows — exact, and the
 # pad/slice VJP zeroes the padded rows' gradient contributions).
@@ -661,6 +663,49 @@ def _flash_tiles(s, bw, dh, itemsize):
                 + 2 * bq * bw * 4 * subhead    # fwd/dq fp32 accumulators
             )
             if need <= budget and (best is None or bq * kc > best[0] * best[1]):
+                best = (bq, kc)
+    return best
+
+
+def _flash_stream_tiles(s, bw, dh, itemsize):
+    """(BQ, KC) tile sizes for the STREAMING flash kernels (nothing
+    full-sequence resident: q/dO/lse/delta blocks ride the grid's inner
+    dimension like k/v do, and the online state lives in VMEM scratch), or
+    None when S is not a 128-multiple. The budget covers only per-chunk
+    double-buffered blocks + scratch, so any 128-multiple S fits — this is
+    the unbounded-S fallback behind ``_flash_tiles``'s resident envelope.
+    Prefers large KC (fewer re-reads of the q-side operands in dK/dV)."""
+    if s % 128 or s == 0:
+        return None
+    subhead = 2 if bw != dh else 1
+    budget = 12 * 1024 * 1024
+    best = None
+    for bq in (512, 256, 128):
+        if s % bq:
+            continue
+        for kc in (1024, 512, 256, 128):
+            if s % kc:
+                continue
+            blocks_dq = (
+                3 * bq * bw * itemsize * 2     # q, dO, dq blocks (dbl-buf)
+                + 2 * kc * bw * itemsize * 2   # k, v blocks
+                + 2 * bq * 128 * 4 * 2         # lse, delta blocks
+                + kc * 4 * 2                   # mask chunk
+                + bq * bw * 4                  # dq fp32 accumulator (scratch)
+                + 3 * bq * kc * 4 * subhead    # score / p / ds tiles
+            )
+            blocks_dkv = (
+                2 * bq * bw * itemsize * 2     # q, dO blocks
+                + 4 * kc * bw * itemsize * 2   # k, v, dk, dv blocks
+                + 2 * bq * 128 * 4 * 2         # lse, delta blocks
+                + kc * 4 * 2
+                + 2 * kc * bw * 4              # dk/dv fp32 accumulators
+                + 3 * bq * kc * 4 * subhead
+            )
+            need = max(blocks_dq, blocks_dkv)
+            if need <= budget and (
+                best is None or (kc, bq * kc) > (best[1], best[0] * best[1])
+            ):
                 best = (bq, kc)
     return best
 
@@ -758,7 +803,13 @@ def _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret):
     b, s, d = q.shape
     dh = d // n_head
     bw = _hl_block_width(dh)
-    bq, kc = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    tiles = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    if tiles is None:  # past the resident envelope: stream everything
+        bq, kc = _flash_stream_tiles(s, bw, dh, q.dtype.itemsize)
+        return _sdpa_flash_fwd_stream_impl(
+            q, k, v, mask_i32, n_head, interpret, bq, kc
+        )
+    bq, kc = tiles
     ng = d // bw
     qspec, kvspec, mspec, colspec = _flash_specs(s, bw, bq)
     kernel = functools.partial(
@@ -900,7 +951,13 @@ def _sdpa_flash_bwd_impl(q, k, v, mask_i32, grad, out, lse, n_head, interpret):
     b, s, d = q.shape
     dh = d // n_head
     bw = _hl_block_width(dh)
-    bq, kc = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    tiles = _flash_tiles(s, bw, dh, q.dtype.itemsize)
+    if tiles is None:  # past the resident envelope: stream everything
+        bq, kc = _flash_stream_tiles(s, bw, dh, q.dtype.itemsize)
+        return _sdpa_flash_bwd_stream_impl(
+            q, k, v, mask_i32, grad, out, lse, n_head, interpret, bq, kc
+        )
+    bq, kc = tiles
     ng = d // bw
     scale = 1.0 / (dh**0.5)
     delta = _flash_delta(out, grad, dh)
@@ -968,6 +1025,284 @@ def _sdpa_pallas_flash_bwd(n_head, interpret, res, grad):
 _sdpa_pallas_flash.defvjp(_sdpa_pallas_flash_fwd, _sdpa_pallas_flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Streaming flash kernels: unbounded sequence length.
+#
+# The resident kernels above keep one side of the attention full-sequence in
+# VMEM (fwd/dq: K and V; dK/dV: Q, dO, lse, delta), which caps S at ~4k. The
+# streaming variants below keep NOTHING full-sequence resident: the grid
+# grows a 4th (chunk) dimension whose BlockSpecs stream the chunked operands
+# through Pallas's own double-buffered DMA pipeline, and the online state
+# (m/l/acc for the forward, the dq / dk / dv partial sums for the backward)
+# lives in VMEM scratch that persists across the sequentially-executed inner
+# grid steps — initialized at chunk 0, flushed to the output block at the
+# last chunk (the block's index map is constant along the chunk dimension,
+# so Pallas writes it back to HBM exactly once). The streaming cost is the
+# flash-standard re-read: the q-side operands are fetched once per key chunk
+# (and K/V once per query chunk in dK/dV), so the resident kernels remain
+# the dispatch default whenever their envelope fits; `_sdpa_flash_*_impl`
+# fall through to these only past it. Math is identical (same sub-head lane
+# masking, same fp32 softmax/accumulation dtype strategy).
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_flash_fwd_stream(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                                  lse_ref, m_s, l_s, acc_s, *, scale, dh):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_s[...] = jnp.full(m_s.shape, NEG_INF, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    q = q_ref[...]   # (1, BQ, BW)
+    kb = k_ref[...]  # (1, KC, BW)
+    vb = v_ref[...]
+    bw = q.shape[-1]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (1, 1, KC)
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))
+    ct_keys = (((2,), (1,)), ((0,), (0,)))
+    subs = [None] if bw == dh else _lane_masks(bw, dh, q.dtype)
+    m_all, l_all, acc = m_s[...], l_s[...], acc_s[...]
+    for j, mj in enumerate(subs):
+        qj = q if mj is None else q * mj
+        kj = kb if mj is None else kb * mj
+        vj = vb if mj is None else vb * mj
+        s_blk = jax.lax.dot_general(
+            qj, kj, ct_lanes, preferred_element_type=jnp.float32
+        ) * scale + bias  # (1, BQ, KC) fp32
+        m_old = _pick_col(m_all, j, dh)  # (1, BQ, 1)
+        l_old = _pick_col(l_all, j, dh)
+        m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(s_blk - m_new)
+        pv = jax.lax.dot_general(
+            e.astype(vj.dtype), vj, ct_keys, preferred_element_type=jnp.float32
+        )  # (1, BQ, BW), zero outside sub-head j's lanes (vj is masked)
+        l_new = l_old * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        sel = _lane_masks128(dh)[j]  # (1, 1, 128) fp32
+        m_all = m_all * (1.0 - sel) + m_new * sel
+        l_all = l_all * (1.0 - sel) + l_new * sel
+        mjf = (1.0 if mj is None
+               else _lane_masks(bw, dh, jnp.float32)[j][None])
+        acc = acc * (1.0 + (alpha - 1.0) * mjf) + pv
+    m_s[...], l_s[...], acc_s[...] = m_all, l_all, acc
+
+    @pl.when(ki == nk - 1)
+    def _flush():
+        l = jnp.maximum(l_s[...], 1e-30)  # fully-masked rows: no NaN
+        acc_f = acc_s[...]
+        if bw == dh:  # single head per block: one scalar l per row
+            acc_f = acc_f / jnp.maximum(_pick_col(l, 0, dh), 1e-30)
+        else:  # BW == 128: l's lane layout matches acc's sub-head lanes
+            acc_f = acc_f / l
+        o_ref[...] = acc_f.astype(o_ref.dtype)
+        lse_ref[...] = m_s[...] + jnp.log(l)
+
+
+def _attn_kernel_flash_dq_stream(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                                 lse_ref, delta_ref, dq_ref, acc_s,
+                                 *, scale, dh):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    q = q_ref[...]
+    go = g_ref[...]
+    kb = k_ref[...]
+    vb = v_ref[...]
+    bw = q.shape[-1]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))
+    ct_keys = (((2,), (1,)), ((0,), (0,)))
+    subs = [None] if bw == dh else _lane_masks(bw, dh, q.dtype)
+    acc = acc_s[...]
+    lse = lse_ref[...]
+    delta = delta_ref[...]
+    for j, mj in enumerate(subs):
+        qj = q if mj is None else q * mj
+        goj = go if mj is None else go * mj
+        lrow = _pick_col(lse, j, dh)
+        drow = _pick_col(delta, j, dh)
+        s_blk = jax.lax.dot_general(
+            qj, kb, ct_lanes, preferred_element_type=jnp.float32
+        ) * scale + bias
+        p = jnp.exp(s_blk - lrow)
+        dp = jax.lax.dot_general(
+            goj, vb, ct_lanes, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - drow)
+        dqj = jax.lax.dot_general(
+            ds.astype(kb.dtype), kb, ct_keys,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        acc = acc + (dqj if mj is None else dqj * mj)
+    acc_s[...] = acc
+
+    @pl.when(ki == nk - 1)
+    def _flush():
+        dq_ref[...] = acc_s[...].astype(dq_ref.dtype)
+
+
+def _attn_kernel_flash_dkv_stream(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                                  lse_ref, delta_ref, dk_ref, dv_ref,
+                                  dk_s, dv_s, *, scale, dh):
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_s[...] = jnp.zeros(dk_s.shape, jnp.float32)
+        dv_s[...] = jnp.zeros(dv_s.shape, jnp.float32)
+
+    k = k_ref[...]  # (1, KC, BW) — this (outer) grid step's key block
+    v = v_ref[...]
+    qb = q_ref[...]  # (1, QC, BW) — this (inner) grid step's query chunk
+    gob = g_ref[...]
+    bw = k.shape[-1]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (1, 1, KC)
+    ct_lanes = (((2,), (2,)), ((0,), (0,)))
+    ct_q = (((1,), (1,)), ((0,), (0,)))
+    subs = [None] if bw == dh else _lane_masks(bw, dh, k.dtype)
+    dk, dv = dk_s[...], dv_s[...]
+    for j, mj in enumerate(subs):
+        kj = k if mj is None else k * mj
+        vj = v if mj is None else v * mj
+        qbj = qb if mj is None else qb * mj
+        gobj = gob if mj is None else gob * mj
+        lrow = _pick_col(lse_ref[...], j, dh)
+        drow = _pick_col(delta_ref[...], j, dh)
+        s_blk = jax.lax.dot_general(
+            qbj, kj, ct_lanes, preferred_element_type=jnp.float32
+        ) * scale + bias  # (1, QC, KC)
+        p = jnp.exp(s_blk - lrow)
+        dv = dv + jax.lax.dot_general(
+            p.astype(gobj.dtype), gobj, ct_q,
+            preferred_element_type=jnp.float32,
+        )  # p^T dO: (1, KC, BW)
+        dp = jax.lax.dot_general(
+            gobj, vj, ct_lanes, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - drow)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(qbj.dtype), qbj, ct_q,
+            preferred_element_type=jnp.float32,
+        ) * scale
+    dk_s[...], dv_s[...] = dk, dv
+
+    @pl.when(qi == nq - 1)
+    def _flush():
+        dk_ref[...] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _flash_stream_specs(bq, kc, bw):
+    """BlockSpecs for the streaming fwd/dq grids (batch, group, q-blk, k-chunk):
+    q-side blocks are constant along the inner (k-chunk) dimension so Pallas
+    fetches them once per q block; k/v/mask chunks stream along it."""
+    qspec = pl.BlockSpec((1, bq, bw), lambda bi, gi, qi, ki: (bi, qi, gi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, kc, bw), lambda bi, gi, qi, ki: (bi, ki, gi),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, kc), lambda bi, gi, qi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM)
+    colspec = pl.BlockSpec((1, bq, 128), lambda bi, gi, qi, ki: (bi, qi, gi),
+                           memory_space=pltpu.VMEM)
+    return qspec, kspec, mspec, colspec
+
+
+def _sdpa_flash_fwd_stream_impl(q, k, v, mask_i32, n_head, interpret, bq, kc):
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    ng = d // bw
+    qspec, kspec, mspec, colspec = _flash_stream_specs(bq, kc, bw)
+    kernel = functools.partial(
+        _attn_kernel_flash_fwd_stream, scale=1.0 / (dh**0.5), dh=dh
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, s, 128 * ng), jnp.float32),
+        ),
+        grid=(b, ng, s // bq, s // kc),
+        in_specs=[qspec, kspec, kspec, mspec],
+        out_specs=(qspec, colspec),
+        scratch_shapes=[
+            pltpu.VMEM((1, bq, 128), jnp.float32),
+            pltpu.VMEM((1, bq, 128), jnp.float32),
+            pltpu.VMEM((1, bq, bw), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * (2 + 2 * s // kc),
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32)
+
+
+def _sdpa_flash_bwd_stream_impl(q, k, v, mask_i32, grad, out, lse, n_head,
+                                interpret, bq, kc):
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    ng = d // bw
+    scale = 1.0 / (dh**0.5)
+    delta = _flash_delta(out, grad, dh)
+    qspec, kspec, mspec, colspec = _flash_stream_specs(bq, kc, bw)
+    dq = pl.pallas_call(
+        functools.partial(_attn_kernel_flash_dq_stream, scale=scale, dh=dh),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, ng, s // bq, s // kc),
+        in_specs=[qspec, kspec, kspec, mspec, qspec, colspec, colspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((1, bq, bw), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * (4 + 2 * s // kc),
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, grad, lse, delta)
+    # dK/dV: k chunks on the outer grid dim, q chunks streamed on the inner
+    kbspec = pl.BlockSpec((1, kc, bw), lambda bi, gi, ki, qi: (bi, ki, gi),
+                          memory_space=pltpu.VMEM)
+    qchunk = pl.BlockSpec((1, bq, bw), lambda bi, gi, ki, qi: (bi, qi, gi),
+                          memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((1, 1, kc), lambda bi, gi, ki, qi: (bi, 0, ki),
+                        memory_space=pltpu.VMEM)
+    colchunk = pl.BlockSpec((1, bq, 128), lambda bi, gi, ki, qi: (bi, qi, gi),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_kernel_flash_dkv_stream, scale=scale, dh=dh),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b, ng, s // kc, s // bq),
+        in_specs=[qchunk, kbspec, kbspec, mblk, qchunk, colchunk, colchunk],
+        out_specs=(kbspec, kbspec),
+        scratch_shapes=[
+            pltpu.VMEM((1, kc, bw), jnp.float32),
+            pltpu.VMEM((1, kc, bw), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * s * s * d,
+            bytes_accessed=q.dtype.itemsize * b * s * d * (2 + 4 * s // bq),
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, grad, lse, delta)
+    return dq, dk, dv
+
+
 def attention_flash(
     q: jax.Array,
     k: jax.Array,
@@ -981,9 +1316,10 @@ def attention_flash(
     """Sequence-blocked (flash) attention: (B, S, D) -> (B, S, D).
 
     Long-context entry point: pads S to a 128-multiple when needed (masked
-    keys / sliced rows, exact incl. gradients) and raises if the head dim
-    has no Mosaic-blockable layout or the tile search fails (S too long for
-    the resident-residual backward — see the section comment). ``sharded``
+    keys / sliced rows, exact incl. gradients) and raises only if the head
+    dim has no Mosaic-blockable layout — past the resident kernels' VMEM
+    envelope the impl streams every operand per-chunk (see the streaming
+    section), so S itself is unbounded. ``sharded``
     wraps the kernels in the batch-partitioning custom_partitioning for
     multi-chip meshes (see the multi-chip section; long-context runs are
     DP-dominant, so TP lanes cost one gather before the kernel)."""
@@ -1004,11 +1340,12 @@ def attention_flash(
             key_mask = key_mask_full.at[:, :s].set(True)
         else:
             key_mask = key_mask_full.at[:, :s].set(key_mask)
-    if _flash_tiles(s + pad, bw, dh, q.dtype.itemsize) is None:
+    if (_flash_tiles(s + pad, bw, dh, q.dtype.itemsize) is None
+            and _flash_stream_tiles(s + pad, bw, dh, q.dtype.itemsize)
+            is None):  # defensive: stream tiles exist for any 128-multiple S
         raise ValueError(
-            f"attention_flash: S={s} exceeds the resident-residual backward "
-            "envelope for this dtype/head width (see ops/attention.py flash "
-            "section; streaming residuals via manual DMA is the extension)"
+            f"attention_flash: no flash tiling for S={s} at this "
+            "dtype/head width (see ops/attention.py flash sections)"
         )
     if key_mask is None:
         mask_i32 = jnp.ones((b, 1, s), jnp.int32)
@@ -1124,6 +1461,34 @@ def _packed_sharded(n_head: int, interpret: bool):
     return f
 
 
+def _tp_shard_count(mesh, d_ax) -> int:
+    axes = d_ax if isinstance(d_ax, tuple) else (d_ax,)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    return n
+
+
+def _tp_axes_on_hidden(mesh, q_shape, n_head):
+    """TP axes on the hidden (last) dim of a heads-last operand, kept only
+    when each shard holds whole Mosaic-blockable heads (d_local % dh == 0
+    and d_local % bw == 0) — the condition under which attention stays
+    head-local per chip; None means replicate the hidden dim (one gather)."""
+    spec = getattr(getattr(q_shape, "sharding", None), "spec", None)
+    if spec is None or len(spec) < 3 or spec[2] is None:
+        return None
+    shards = _tp_shard_count(mesh, spec[2])
+    d = q_shape.shape[-1]
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    if bw is None or d % shards:
+        return None
+    d_local = d // shards
+    if d_local % dh or d_local % bw:
+        return None
+    return spec[2]
+
+
 def _hl_head_partitioned(n_head, interpret, *, bwd):
     """custom_partitioning for the heads-last kernel that, on top of batch
     partitioning, KEEPS a tensor-parallel sharding of the hidden dim when
@@ -1159,27 +1524,6 @@ def _hl_head_partitioned(n_head, interpret, *, bwd):
 
     cp = custom_partitioning(impl)
 
-    def _d_axes(mesh, arg_shapes):
-        """TP axes on the hidden dim, kept only when each shard holds whole
-        blockable heads."""
-        q_shape = arg_shapes[0]
-        spec = getattr(getattr(q_shape, "sharding", None), "spec", None)
-        if spec is None or len(spec) < 3 or spec[2] is None:
-            return None
-        axes = spec[2] if isinstance(spec[2], tuple) else (spec[2],)
-        shards = 1
-        for a in axes:
-            shards *= mesh.shape[a]
-        d = q_shape.shape[-1]
-        dh = d // n_head
-        bw = _hl_block_width(dh)
-        if bw is None or d % shards:
-            return None
-        d_local = d // shards
-        if d_local % dh or d_local % bw:
-            return None
-        return spec[2]
-
     def _shardings(mesh, b, d_ax):
         qsh = NamedSharding(mesh, P(b, None, d_ax))
         msh = NamedSharding(mesh, P(b, None, None))
@@ -1189,22 +1533,18 @@ def _hl_head_partitioned(n_head, interpret, *, bwd):
 
     def infer(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes[0])
-        d_ax = _d_axes(mesh, arg_shapes)
+        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
         _, res = _shardings(mesh, b, d_ax)
         return res
 
     def partition(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes[0])
-        d_ax = _d_axes(mesh, arg_shapes)
+        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
         args, res = _shardings(mesh, b, d_ax)
         if d_ax is None:
             lower = impl
         else:
-            axes = d_ax if isinstance(d_ax, tuple) else (d_ax,)
-            shards = 1
-            for a in axes:
-                shards *= mesh.shape[a]
-            lower = impl_for(n_head // shards)
+            lower = impl_for(n_head // _tp_shard_count(mesh, d_ax))
         return mesh, lower, res, args
 
     cp.def_partition(
@@ -1266,24 +1606,80 @@ def _hf_sharded(interpret: bool):
     return f
 
 
+def _flash_head_partitioned(n_head, interpret, *, bwd):
+    """custom_partitioning for the flash kernels: batch partitioning plus
+    the same megatron head-sharding as `_hl_head_partitioned` — a TP
+    sharding of the hidden dim is KEPT (zero attention collectives) when
+    each shard holds whole blockable heads. The lse side tensor's last dim
+    is 128·n_groups, so whole-head shards split it on whole groups and it
+    carries the same axes as the hidden dim."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if bwd:
+        def impl_for(n_local):
+            def impl(q, k, v, mask_i32, grad, out, lse):
+                return _sdpa_flash_bwd_impl(
+                    q, k, v, mask_i32, grad, out, lse, n_local, interpret
+                )
+            return impl
+        # q/k/v/grad/out and the grads share the hidden-dim factor 'd';
+        # lse has its own last-dim factor (different size, same axes —
+        # assigned by the closures, not the rule); mask shares batch only.
+        rule = ("b s1 d, b s2 d, b s3 d, b m1 s4, b s5 d, b s6 d, b s7 e "
+                "-> b s8 d, b s9 d, b s10 d")
+    else:
+        def impl_for(n_local):
+            def impl(q, k, v, mask_i32):
+                return _sdpa_flash_fwd_impl(
+                    q, k, v, mask_i32, n_local, interpret
+                )
+            return impl
+        rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d, b s6 e"
+
+    impl = impl_for(n_head)
+    cp = custom_partitioning(impl)
+
+    def _shardings(mesh, b, d_ax):
+        xsh = NamedSharding(mesh, P(b, None, d_ax))
+        msh = NamedSharding(mesh, P(b, None, None))
+        if bwd:  # lse rides the same axes: whole groups per shard
+            return (xsh, xsh, xsh, msh, xsh, xsh, xsh), (xsh, xsh, xsh)
+        return (xsh, xsh, xsh, msh), (xsh, xsh)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes[0])
+        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
+        _, res = _shardings(mesh, b, d_ax)
+        return res
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes[0])
+        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
+        args, res = _shardings(mesh, b, d_ax)
+        if d_ax is None:
+            lower = impl
+        else:
+            lower = impl_for(n_head // _tp_shard_count(mesh, d_ax))
+        return mesh, lower, res, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return cp
+
+
 @functools.lru_cache(maxsize=None)
 def _flash_sharded(n_head: int, interpret: bool):
-    """Batch-partitioned flash kernels for multi-chip meshes. The forward's
-    lse side-output shards on the same batch axis (dim 0 of every operand
-    and result); the hidden dim replicates — long-context meshes are
-    DP-dominant, so head-sharding flash (the `_hl_head_partitioned`
-    megatron path) is left as an extension."""
-
-    def fwd_impl(q, k, v, mask_i32):
-        return _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_head, interpret)
-
-    def bwd_impl(q, k, v, mask_i32, grad, out, lse):
-        return _sdpa_flash_bwd_impl(
-            q, k, v, mask_i32, grad, out, lse, n_head, interpret
-        )
-
-    fwd_cp = _batch_partitioned(fwd_impl, (3, 3, 3, 3), (3, 3))
-    bwd_cp = _batch_partitioned(bwd_impl, (3, 3, 3, 3, 3, 3, 3), (3, 3, 3))
+    """Mesh-partitioned flash kernels: batch (DP) partitioning always, and
+    megatron head-sharded TP (zero attention collectives) when the incoming
+    hidden-dim sharding lands on whole blockable heads — same contract as
+    the whole-seq `_hl_sharded` family; the forward's lse side-output
+    shards on batch and (for whole-head TP) its group'd last dim."""
+    fwd_cp = _flash_head_partitioned(n_head, interpret, bwd=False)
+    bwd_cp = _flash_head_partitioned(n_head, interpret, bwd=True)
 
     @jax.custom_vjp
     def f(q, k, v, mask_i32):
@@ -1304,6 +1700,15 @@ def _flash_sharded(n_head: int, interpret: bool):
 
 
 _SHARDED_IMPLS = ("pallas_sharded", "pallas_interpret_sharded")
+
+def _flash_available(s128, bw, dh, itemsize) -> bool:
+    """Whether ANY flash tiling (resident or streaming) exists for this
+    128-multiple S — true for every valid shape since the streaming kernels
+    hold only per-chunk blocks; kept as the routing predicate so the XLA
+    fallback stays reachable if a tiling regression ever reintroduces one."""
+    return (_flash_tiles(s128, bw, dh, itemsize) is not None
+            or _flash_stream_tiles(s128, bw, dh, itemsize) is not None)
+
 
 _warned_fallback_dh = set()
 _warned_flash_envelope = set()
@@ -1415,10 +1820,11 @@ def attention_heads_last(
         and not _hl_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
     ):
         # whole-seq score plane won't fit VMEM at this S: escalate to the
-        # sequence-blocked flash kernels (or, past their backward envelope,
-        # to XLA — which will itself struggle at such S; warned once)
+        # sequence-blocked flash kernels (resident-residual while their
+        # envelope holds, then the unbounded streaming variants; the XLA
+        # fallback below is defensive — stream tiles exist for any S)
         interp = "interpret" in impl
-        if _flash_tiles(s + (-s) % 128, bw, dh, q.dtype.itemsize) is not None:
+        if _flash_available(s + (-s) % 128, bw, dh, q.dtype.itemsize):
             return attention_flash(
                 q, k, v, key_mask, n_head=n_head, interpret=interp,
                 sharded=impl in _SHARDED_IMPLS,
@@ -1500,9 +1906,9 @@ def scaled_dot_product_attention(
             bw is not None
             and not _hl_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
         )
-        if need_flash and bw is not None and _flash_tiles(
+        if need_flash and bw is not None and _flash_available(
             s + (-s) % 128, bw, dh, q.dtype.itemsize
-        ) is not None:
+        ):
             # long-S escalation: relayout to heads-last and run the
             # sequence-blocked kernels (the relayout cost is negligible
             # against S² attention at these lengths)

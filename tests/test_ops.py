@@ -568,6 +568,61 @@ def test_attention_long_sequence_escalates_to_flash(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_hf), np.asarray(ref), atol=2e-5)
 
 
+def test_attention_flash_streaming_past_resident_envelope(monkeypatch):
+    """Past the resident kernels' VMEM envelope (forced here by nulling the
+    resident tile search) the flash impls must fall through to the STREAMING
+    kernels — 4D grid, per-chunk blocks, scratch-carried online state — and
+    stay XLA-exact through the custom-VJP backward, for both head-dim
+    patterns (sub-head lane masking at Dh=64, one head per block at Dh=256)
+    with multi-chunk grids in every dimension."""
+    from multimodal_uncertainty_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_flash_tiles", lambda *a: None)
+    # small forced tiles -> nq = nk = 4: the online recurrence, the scratch
+    # init/flush @pl.when edges, and chunk revisiting all exercised
+    monkeypatch.setattr(A, "_flash_stream_tiles", lambda *a: (128, 128))
+    rng = np.random.default_rng(15)
+    for (h, dh) in [(2, 64), (1, 256)]:
+        b, s = 2, 512
+        d = h * dh
+        q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+
+        def grads(fn):
+            def f(q, k, v):
+                return jnp.sum(fn(q, k, v) ** 2)
+
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        ref, gref = grads(lambda q, k, v: A.attention_heads_last(
+            q, k, v, mask, n_head=h, impl="xla"))
+        out, gout = grads(lambda q, k, v: A.attention_flash(
+            q, k, v, mask, n_head=h, interpret=True))
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+        for a, b_ in zip(gout, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-5)
+
+
+def test_attention_flash_streaming_pads_odd_lengths(monkeypatch):
+    """S=200 through the streaming path: the entry point's pad-and-slice
+    (masked keys, zeroed padded-row grads) composes with the 4D-grid
+    kernels exactly as with the resident ones."""
+    from multimodal_uncertainty_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_flash_tiles", lambda *a: None)
+    rng = np.random.default_rng(16)
+    b, s, h, dh = 2, 200, 2, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    ref = A.attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    out = A.attention_flash(q, k, v, mask, n_head=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_attention_flash_bf16_matches_xla_bf16():
     """Same dtype strategy as every kernel in this module: bf16 MXU
     operands, fp32 accumulation/softmax — within bf16 output rounding of

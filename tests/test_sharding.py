@@ -394,7 +394,8 @@ def test_flash_attention_custom_partitioned_on_mesh(monkeypatch):
             np.asarray(g_got), np.asarray(g_ref), atol=2e-4
         )
 
-    # direct sharded entry with TP-sharded lanes (gather-before-kernel)
+    # direct sharded entry with TP-sharded lanes: d_local=64 splits the
+    # 128-lane Mosaic block, so the partitioner falls back to the gather
     tp = NamedSharding(mesh, P("data", None, "model"))
     qt, kt, vt = (jax.device_put(t, tp) for t in (q, k, v))
     out = jax.jit(
@@ -406,3 +407,41 @@ def test_flash_attention_custom_partitioned_on_mesh(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_out), atol=2e-5
     )
+
+
+def test_flash_attention_tp_head_sharded():
+    """Megatron TP for the FLASH kernels: with the hidden dim sharded on
+    whole blockable heads each chip runs flash on its local heads with zero
+    attention collectives, the output KEEPS the TP sharding, and the
+    custom-VJP backward (lse side-tensor sharded on its group'd last dim)
+    matches single-device XLA numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops import attention as A
+
+    mesh = make_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(6)
+    # Dh=64 sub-heads; d_local = 256/2 = 128 = one whole Mosaic block
+    b, s, d, h = 8, 256, 256, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    ref = A.attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+    flash = lambda a, b_, c: A.attention_flash(  # noqa: E731
+        a, b_, c, mask, n_head=h, interpret=True, sharded=True
+    )
+    out = jax.jit(flash)(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert "model" in str(out.sharding.spec), out.sharding  # TP preserved
+
+    gq = jax.jit(jax.grad(lambda a, b_, c: (flash(a, b_, c) ** 2).sum()))(
+        qs, ks, vs
+    )
+    gq_ref = jax.grad(
+        lambda a: (A.attention_heads_last(
+            a, k, v, mask, n_head=h, impl="xla") ** 2).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=2e-4)
