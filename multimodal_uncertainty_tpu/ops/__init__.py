@@ -14,3 +14,7 @@ from multimodal_uncertainty_tpu.ops.metrics import (  # noqa: F401
     binary_auroc,
     expected_calibration_error,
 )
+from multimodal_uncertainty_tpu.ops.ring import (  # noqa: F401
+    ring_attention,
+    ring_attention_sharded,
+)

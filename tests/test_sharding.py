@@ -445,3 +445,88 @@ def test_flash_attention_tp_head_sharded():
             a, k, v, mask, n_head=h, impl="xla") ** 2).sum()
     )(q)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=2e-4)
+
+
+def test_ring_attention_sequence_parallel():
+    """Context parallelism: the sequence sharded over a mesh axis, K/V
+    blocks rotating the ICI ring (lax.ppermute) with exact log-sum-exp
+    merging of per-block flash partials — fwd AND the ring backward (dK/dV
+    travel with their block) match single-device XLA numerics, composed
+    with a DP batch axis (independent ring per data slice). Covers both
+    head-dim patterns incl. the Dh>128 lane-expansion in the merge."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
+    from multimodal_uncertainty_tpu.ops.ring import ring_attention_sharded
+
+    mesh = make_mesh(8, model_parallel=4)  # data=2 x seq(model)=4
+    rng = np.random.default_rng(8)
+    for (h, dh) in [(2, 64), (1, 256)]:
+        b, s = 4, 1024  # S_local = 256 per ring position
+        d = h * dh
+        q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+        ref = attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+
+        ring = ring_attention_sharded(
+            mesh, n_head=h, seq_axis="model", batch_axis="data",
+            interpret=True,
+        )
+        sh = NamedSharding(mesh, P("data", "model", None))
+        msh = NamedSharding(mesh, P("data", "model"))
+        qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+        ms = jax.device_put(mask, msh)
+        out = jax.jit(ring)(qs, ks, vs, ms)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+        gout = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(ring(q, k, v, ms) ** 2),
+            argnums=(0, 1, 2),
+        ))(qs, ks, vs)
+        gref = jax.grad(
+            lambda q, k, v: jnp.sum(attention_heads_last(
+                q, k, v, mask, n_head=h, impl="xla") ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(gout, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4)
+
+
+def test_ring_attention_bf16_and_validation():
+    """bf16 operands keep the fp32 merge/accumulation numerics (within
+    bf16 output rounding of XLA on identical inputs), and the entry point
+    rejects non-128-multiple local shards and unblockable head dims."""
+    import pytest as _pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
+    from multimodal_uncertainty_tpu.ops.ring import (
+        ring_attention, ring_attention_sharded)
+
+    mesh = make_mesh(8, model_parallel=4)
+    rng = np.random.default_rng(9)
+    b, s, d, h = 2, 1024, 128, 2
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32),
+                           jnp.bfloat16) for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3).at[:, 0].set(True)
+    ref = np.asarray(attention_heads_last(
+        q, k, v, mask, n_head=h, impl="xla")).astype(np.float32)
+    ring = ring_attention_sharded(mesh, n_head=h, seq_axis="model",
+                                  interpret=True)
+    sh = NamedSharding(mesh, P(None, "model", None))
+    out = jax.jit(ring)(
+        *(jax.device_put(t, sh) for t in (q, k, v)),
+        jax.device_put(mask, NamedSharding(mesh, P(None, "model"))),
+    )
+    np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
+                               atol=1.6e-2)
+
+    with _pytest.raises(ValueError, match="128-multiple"):
+        ring_attention(q[:, :100], k[:, :100], v[:, :100], n_head=h,
+                       axis_name="model")
+    with _pytest.raises(ValueError, match="Mosaic-blockable"):
+        ring_attention(q[:, :, :96], k[:, :, :96], v[:, :, :96], n_head=1,
+                       axis_name="model")
