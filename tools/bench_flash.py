@@ -54,7 +54,7 @@ def main():
     D = _arg("--d", 768)
     TOKENS = _arg("--tokens", 16384)  # B*S per step, constant across rows
     seqs = [int(s) for s in
-            _arg("--seqs", "512,1024,2048,4096", str).split(",")]
+            _arg("--seqs", "512,1024,2048,4096,8192,16384", str).split(",")]
     interpret = "--interpret" in sys.argv
     h = D // DH
     rng = np.random.default_rng(0)
