@@ -674,13 +674,15 @@ def _flash_stream_tiles(s, bw, dh, itemsize):
     None when S is not a 128-multiple. The budget covers only per-chunk
     double-buffered blocks + scratch, so any 128-multiple S fits — this is
     the unbounded-S fallback behind ``_flash_tiles``'s resident envelope.
-    Prefers large KC (fewer re-reads of the q-side operands in dK/dV)."""
+    Re-read traffic scales as S/BQ for K/V (fwd, dq) and S/KC for the
+    q-side operands (dK/dV), so prefer the largest BALANCED tile: max
+    area, then max min-side."""
     if s % 128 or s == 0:
         return None
     subhead = 2 if bw != dh else 1
     budget = 12 * 1024 * 1024
     best = None
-    for bq in (512, 256, 128):
+    for bq in (1024, 512, 256, 128):
         if s % bq:
             continue
         for kc in (1024, 512, 256, 128):
@@ -704,7 +706,9 @@ def _flash_stream_tiles(s, bw, dh, itemsize):
             )
             need = max(blocks_dq, blocks_dkv)
             if need <= budget and (
-                best is None or (kc, bq * kc) > (best[1], best[0] * best[1])
+                best is None
+                or (bq * kc, min(bq, kc))
+                > (best[0] * best[1], min(best))
             ):
                 best = (bq, kc)
     return best
