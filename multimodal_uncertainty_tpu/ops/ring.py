@@ -76,20 +76,24 @@ def _ring_fwd(q, k, v, mask_i32, n_head, axis_name, interpret):
     out0 = jnp.zeros((b, s_loc, d), jnp.float32)
     lse0 = jnp.full((b, s_loc, 128 * ng), NEG_INF, jnp.float32)
 
+    def compute(carry_out, k_c, v_c, m_c):
+        out_m, lse_m = carry_out
+        o_j, lse_j = _sdpa_flash_fwd_impl(q, k_c, v_c, m_c, n_head, interpret)
+        return _merge(out_m, lse_m, o_j.astype(jnp.float32), lse_j, dh, d)
+
     def body(_, carry):
         out_m, lse_m, k_c, v_c, m_c = carry
-        o_j, lse_j = _sdpa_flash_fwd_impl(q, k_c, v_c, m_c, n_head, interpret)
-        out_m, lse_m = _merge(
-            out_m, lse_m, o_j.astype(jnp.float32), lse_j, dh, d
-        )
+        out_m, lse_m = compute((out_m, lse_m), k_c, v_c, m_c)
         k_c, v_c, m_c = (
             jax.lax.ppermute(t, axis_name, perm) for t in (k_c, v_c, m_c)
         )
         return out_m, lse_m, k_c, v_c, m_c
 
-    out, lse, *_ = jax.lax.fori_loop(
-        0, n, body, (out0, lse0, k, v, mask_i32)
+    # last visit peeled: its K/V/mask need no onward hop (n is static)
+    out_m, lse_m, k_c, v_c, m_c = jax.lax.fori_loop(
+        0, n - 1, body, (out0, lse0, k, v, mask_i32)
     )
+    out, lse = compute((out_m, lse_m), k_c, v_c, m_c)
     return out.astype(q.dtype), lse
 
 
@@ -97,11 +101,14 @@ def _ring_bwd(q, k, v, mask_i32, grad, out, lse, n_head, axis_name,
               interpret):
     n, perm = _ring_perm(axis_name)
 
-    def body(_, carry):
-        dq_acc, k_c, v_c, m_c, dk_c, dv_c = carry
-        dq_j, dk_j, dv_j = _sdpa_flash_bwd_impl(
+    def contrib(k_c, v_c, m_c):
+        return _sdpa_flash_bwd_impl(
             q, k_c, v_c, m_c, grad, out, lse, n_head, interpret
         )
+
+    def body(_, carry):
+        dq_acc, k_c, v_c, m_c, dk_c, dv_c = carry
+        dq_j, dk_j, dv_j = contrib(k_c, v_c, m_c)
         dq_acc = dq_acc + dq_j.astype(jnp.float32)
         dk_c = dk_c + dk_j.astype(jnp.float32)
         dv_c = dv_c + dv_j.astype(jnp.float32)
@@ -115,9 +122,15 @@ def _ring_bwd(q, k, v, mask_i32, grad, out, lse, n_head, axis_name,
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
     z = jnp.zeros(k.shape, jnp.float32)
-    dq, _, _, _, dk, dv = jax.lax.fori_loop(
-        0, n, body, (dq0, k, v, mask_i32, z, z)
+    # last visit peeled: only the finished dK/dV need the final hop home —
+    # the K/V/mask buffers' nth rotation would be a dead transfer
+    dq, k_c, v_c, m_c, dk, dv = jax.lax.fori_loop(
+        0, n - 1, body, (dq0, k, v, mask_i32, z, z)
     )
+    dq_j, dk_j, dv_j = contrib(k_c, v_c, m_c)
+    dq = dq + dq_j.astype(jnp.float32)
+    dk = jax.lax.ppermute(dk + dk_j.astype(jnp.float32), axis_name, perm)
+    dv = jax.lax.ppermute(dv + dv_j.astype(jnp.float32), axis_name, perm)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -153,10 +166,12 @@ def ring_attention(q, k, v, key_mask=None, *, n_head: int, axis_name: str,
     data-layout decision made where the batch is built)."""
     b, s_loc, d = q.shape
     dh = d // n_head
-    if _hl_block_width(dh) is None:
+    bw = _hl_block_width(dh)
+    if bw is None or d % bw != 0:
         raise ValueError(
-            f"ring_attention: head_dim={dh} has no Mosaic-blockable "
-            "heads-last layout (needs Dh % 128 == 0 or 128 % Dh == 0)"
+            f"ring_attention: head_dim={dh} / hidden={d} has no "
+            "Mosaic-blockable heads-last layout (needs Dh % 128 == 0 or "
+            "128 % Dh == 0, and the hidden dim to split into whole blocks)"
         )
     if s_loc % 128:
         raise ValueError(
@@ -175,9 +190,9 @@ def ring_attention_sharded(mesh, *, n_head: int, seq_axis: str = "model",
                            interpret: bool = False):
     """shard_map-wrapped entry point: takes GLOBAL (B, S, D) operands with
     the sequence sharded over ``seq_axis`` (and optionally the batch over
-    ``batch_axis`` — each data slice runs its own independent ring) and
-    returns the global result with the same sharding; the hidden dim
-    replicates."""
+    ``batch_axis`` — each data slice runs its own independent ring) plus a
+    global (B, S) key mask (None = all keys live) and returns the global
+    result with the same sharding; the hidden dim replicates."""
     from jax.sharding import PartitionSpec as P
 
     qspec = P(batch_axis, seq_axis, None)
@@ -189,7 +204,14 @@ def ring_attention_sharded(mesh, *, n_head: int, seq_axis: str = "model",
             interpret=interpret,
         )
 
-    return jax.shard_map(
+    g = jax.shard_map(
         f, mesh=mesh, in_specs=(qspec, qspec, qspec, mspec),
         out_specs=qspec, check_vma=False,
     )
+
+    def run(q, k, v, key_mask=None):
+        if key_mask is None:
+            key_mask = jnp.ones(q.shape[:2], bool)
+        return g(q, k, v, key_mask)
+
+    return run

@@ -62,6 +62,12 @@ def pipeline_apply(stage_fn: Callable, stacked_params, xs, *,
         )
         inp = jnp.where(p == 0, x_t, recv)
         out = stage_fn(params, inp)
+        if out.shape != inp.shape or out.dtype != inp.dtype:
+            raise TypeError(
+                "pipeline stage_fn must preserve shape AND dtype so stages "
+                f"chain: got {inp.shape}/{inp.dtype} -> "
+                f"{out.shape}/{out.dtype}"
+            )
         # last stage lands microbatch t-(n-1) at tick t (predicated write)
         idx = jnp.clip(t - (n - 1), 0, m - 1)
         cur = jax.lax.dynamic_index_in_dim(ys, idx, keepdims=False)
