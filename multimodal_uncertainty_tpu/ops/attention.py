@@ -1245,8 +1245,9 @@ def _sdpa_flash_fwd_stream_impl(q, k, v, mask_i32, n_head, interpret, bq, kc):
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
+            # K/V re-read once per q block (s//bq sweeps); q/out once
             flops=2 * 2 * b * s * s * d,
-            bytes_accessed=q.dtype.itemsize * b * s * d * (2 + 2 * s // kc),
+            bytes_accessed=q.dtype.itemsize * b * s * d * (2 + 2 * (s // bq)),
             transcendentals=b * n_head * s * s,
         ),
     )(q, k, v, mask_i32)
@@ -1270,8 +1271,9 @@ def _sdpa_flash_bwd_stream_impl(q, k, v, mask_i32, grad, out, lse, n_head,
         scratch_shapes=[pltpu.VMEM((1, bq, bw), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
+            # K/V re-read once per q block; q/grad/dq/lse/delta once
             flops=3 * 2 * b * s * s * d,
-            bytes_accessed=q.dtype.itemsize * b * s * d * (4 + 2 * s // kc),
+            bytes_accessed=q.dtype.itemsize * b * s * d * (5 + 2 * (s // bq)),
             transcendentals=b * n_head * s * s,
         ),
     )(q, k, v, mask_i32, grad, lse, delta)
@@ -1299,8 +1301,10 @@ def _sdpa_flash_bwd_stream_impl(q, k, v, mask_i32, grad, out, lse, n_head,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
+            # q-side (q/grad/lse/delta) re-read once per k block (s//kc
+            # sweeps); k/v/dk/dv once
             flops=4 * 2 * b * s * s * d,
-            bytes_accessed=q.dtype.itemsize * b * s * d * (2 + 4 * s // bq),
+            bytes_accessed=q.dtype.itemsize * b * s * d * (4 + 4 * (s // kc)),
             transcendentals=b * n_head * s * s,
         ),
     )(q, k, v, mask_i32, grad, lse, delta)
@@ -1344,9 +1348,8 @@ def attention_flash(
             key_mask = key_mask_full.at[:, :s].set(True)
         else:
             key_mask = key_mask_full.at[:, :s].set(key_mask)
-    if (_flash_tiles(s + pad, bw, dh, q.dtype.itemsize) is None
-            and _flash_stream_tiles(s + pad, bw, dh, q.dtype.itemsize)
-            is None):  # defensive: stream tiles exist for any 128-multiple S
+    if not _flash_available(s + pad, bw, dh, q.dtype.itemsize):
+        # defensive: stream tiles exist for any 128-multiple S
         raise ValueError(
             f"attention_flash: no flash tiling for S={s} at this "
             "dtype/head width (see ops/attention.py flash sections)"
@@ -1493,53 +1496,36 @@ def _tp_axes_on_hidden(mesh, q_shape, n_head):
     return spec[2]
 
 
-def _hl_head_partitioned(n_head, interpret, *, bwd):
-    """custom_partitioning for the heads-last kernel that, on top of batch
-    partitioning, KEEPS a tensor-parallel sharding of the hidden dim when
-    the local shard is whole Mosaic-blockable heads (d_local % dh == 0 and
-    d_local % bw == 0): attention is head-local, so each chip runs the
-    kernel on its own heads with ZERO collectives — the megatron pattern
-    (column-parallel q/k/v -> head-sharded attention -> row-parallel output
-    projection). Falls back to replicating the hidden dim (one gather)
-    when the shard boundary would split a head/block."""
+def _head_partitioned_cp(impl_for, n_head, rule, n_args, n_out):
+    """custom_partitioning scaffold shared by the whole-seq and flash
+    head-partitioned wrappers: batch partitioning always, plus a KEPT
+    tensor-parallel sharding of the hidden dim when the local shard is
+    whole Mosaic-blockable heads (see `_tp_axes_on_hidden`) — attention is
+    head-local, so each chip runs the kernel on its own heads with ZERO
+    collectives (the megatron pattern: column-parallel q/k/v ->
+    head-sharded attention -> row-parallel output projection); falls back
+    to replicating the hidden dim (one gather) when the shard boundary
+    would split a head/block. Operand 3 is the (B, 1, S) mask (batch-only
+    sharding); every other operand/result rides P(b, None, d_ax) —
+    including lse-like side tensors, whose 128·n_groups last dim splits on
+    whole groups exactly when the hidden dim splits on whole blocks."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if bwd:
-        def impl_for(n_local):
-            def impl(q, k, v, mask_i32, grad):
-                return _sdpa_hl_bwd_impl(
-                    q, k, v, mask_i32, grad, n_local, interpret
-                )
-            return impl
-        n_out = 3
-        # q, k, v, grad and the outputs all share the hidden-dim factor 'd'
-        # (shardy propagates a TP sharding across them); mask shares batch.
-        rule = "b s1 d, b s2 d, b s3 d, b m1 s4, b s5 d -> b s6 d, b s7 d, b s8 d"
-    else:
-        def impl_for(n_local):
-            def impl(q, k, v, mask_i32):
-                return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_local, interpret)
-            return impl
-        n_out = 1
-        rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d"
-
     impl = impl_for(n_head)  # global-shape trace / single-shard lowering
-
     cp = custom_partitioning(impl)
 
     def _shardings(mesh, b, d_ax):
-        qsh = NamedSharding(mesh, P(b, None, d_ax))
+        xsh = NamedSharding(mesh, P(b, None, d_ax))
         msh = NamedSharding(mesh, P(b, None, None))
-        args = (qsh, qsh, qsh, msh, qsh) if bwd else (qsh, qsh, qsh, msh)
-        res = (qsh,) * n_out if n_out > 1 else qsh
+        args = tuple(msh if i == 3 else xsh for i in range(n_args))
+        res = (xsh,) * n_out if n_out > 1 else xsh
         return args, res
 
     def infer(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes[0])
         d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
-        _, res = _shardings(mesh, b, d_ax)
-        return res
+        return _shardings(mesh, b, d_ax)[1]
 
     def partition(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes[0])
@@ -1557,6 +1543,30 @@ def _hl_head_partitioned(n_head, interpret, *, bwd):
         sharding_rule=rule,
     )
     return cp
+
+
+def _hl_head_partitioned(n_head, interpret, *, bwd):
+    """Head-partitioned whole-sequence heads-last kernels (see
+    `_head_partitioned_cp` for the sharding contract)."""
+    if bwd:
+        def impl_for(n_local):
+            def impl(q, k, v, mask_i32, grad):
+                return _sdpa_hl_bwd_impl(
+                    q, k, v, mask_i32, grad, n_local, interpret
+                )
+            return impl
+        # q, k, v, grad and the outputs all share the hidden-dim factor 'd'
+        # (shardy propagates a TP sharding across them); mask shares batch.
+        rule = ("b s1 d, b s2 d, b s3 d, b m1 s4, b s5 d "
+                "-> b s6 d, b s7 d, b s8 d")
+        return _head_partitioned_cp(impl_for, n_head, rule, 5, 3)
+
+    def impl_for(n_local):
+        def impl(q, k, v, mask_i32):
+            return _sdpa_hl_fwd_impl(q, k, v, mask_i32, n_local, interpret)
+        return impl
+    rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d"
+    return _head_partitioned_cp(impl_for, n_head, rule, 4, 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1611,15 +1621,9 @@ def _hf_sharded(interpret: bool):
 
 
 def _flash_head_partitioned(n_head, interpret, *, bwd):
-    """custom_partitioning for the flash kernels: batch partitioning plus
-    the same megatron head-sharding as `_hl_head_partitioned` — a TP
-    sharding of the hidden dim is KEPT (zero attention collectives) when
-    each shard holds whole blockable heads. The lse side tensor's last dim
-    is 128·n_groups, so whole-head shards split it on whole groups and it
-    carries the same axes as the hidden dim."""
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    """Head-partitioned flash kernels (see `_head_partitioned_cp` for the
+    sharding contract; the lse side tensor's 128·n_groups last dim rides
+    the same TP axes — whole-head shards split it on whole groups)."""
     if bwd:
         def impl_for(n_local):
             def impl(q, k, v, mask_i32, grad, out, lse):
@@ -1632,47 +1636,14 @@ def _flash_head_partitioned(n_head, interpret, *, bwd):
         # assigned by the closures, not the rule); mask shares batch only.
         rule = ("b s1 d, b s2 d, b s3 d, b m1 s4, b s5 d, b s6 d, b s7 e "
                 "-> b s8 d, b s9 d, b s10 d")
-    else:
-        def impl_for(n_local):
-            def impl(q, k, v, mask_i32):
-                return _sdpa_flash_fwd_impl(
-                    q, k, v, mask_i32, n_local, interpret
-                )
-            return impl
-        rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d, b s6 e"
+        return _head_partitioned_cp(impl_for, n_head, rule, 7, 3)
 
-    impl = impl_for(n_head)
-    cp = custom_partitioning(impl)
-
-    def _shardings(mesh, b, d_ax):
-        xsh = NamedSharding(mesh, P(b, None, d_ax))
-        msh = NamedSharding(mesh, P(b, None, None))
-        if bwd:  # lse rides the same axes: whole groups per shard
-            return (xsh, xsh, xsh, msh, xsh, xsh, xsh), (xsh, xsh, xsh)
-        return (xsh, xsh, xsh, msh), (xsh, xsh)
-
-    def infer(mesh, arg_shapes, result_shape):
-        b = _batch_axes(arg_shapes[0])
-        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
-        _, res = _shardings(mesh, b, d_ax)
-        return res
-
-    def partition(mesh, arg_shapes, result_shape):
-        b = _batch_axes(arg_shapes[0])
-        d_ax = _tp_axes_on_hidden(mesh, arg_shapes[0], n_head)
-        args, res = _shardings(mesh, b, d_ax)
-        if d_ax is None:
-            lower = impl
-        else:
-            lower = impl_for(n_head // _tp_shard_count(mesh, d_ax))
-        return mesh, lower, res, args
-
-    cp.def_partition(
-        infer_sharding_from_operands=infer,
-        partition=partition,
-        sharding_rule=rule,
-    )
-    return cp
+    def impl_for(n_local):
+        def impl(q, k, v, mask_i32):
+            return _sdpa_flash_fwd_impl(q, k, v, mask_i32, n_local, interpret)
+        return impl
+    rule = "b s1 d, b s2 d, b s3 d, b m1 s4 -> b s5 d, b s6 e"
+    return _head_partitioned_cp(impl_for, n_head, rule, 4, 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1769,13 +1740,14 @@ def attention_qkv_packed(
         impl == "xla"
         or bw is None
         or d % bw != 0
-        or (impl in ("pallas", "pallas_interpret", "flash",
-                     "flash_interpret") + _SHARDED_IMPLS
+        or impl in ("flash", "flash_interpret")  # explicit flash request
+        or (impl in ("pallas", "pallas_interpret") + _SHARDED_IMPLS
             and not _hl_whole_seq_fits(b, s, bw, dh, qkv.dtype.itemsize))
     ):
-        # No Mosaic-blockable layout for this head dim (see _hl_block_width)
-        # or the sequence is too long for the whole-seq score plane: route
-        # through heads-last (which escalates to the flash kernels) / XLA.
+        # No Mosaic-blockable layout for this head dim (see _hl_block_width),
+        # an explicit flash request, or a sequence too long for the whole-seq
+        # score plane: route through heads-last (which honors flash impls
+        # and escalates to the flash kernels past the budget) / XLA.
         if impl != "xla" and (bw is None or d % bw != 0):
             _warn_hl_fallback(dh)
         q, k, v = jnp.split(qkv, 3, axis=-1)

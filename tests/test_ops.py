@@ -623,6 +623,26 @@ def test_attention_flash_streaming_pads_odd_lengths(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_attention_qkv_packed_honors_flash_impls():
+    """An explicit flash impl on the PACKED entry must route to the flash
+    kernels with the interpret flag intact even when the whole-seq budget
+    fits (regression: it used to fall through to the whole-seq packed
+    kernel with interpret=False, a Mosaic crash on CPU)."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_heads_last, attention_qkv_packed)
+
+    rng = np.random.default_rng(17)
+    b, s, h, dh = 2, 256, 2, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((b, s)) > 0.4).at[:, 0].set(True)
+    ref = attention_heads_last(q, k, v, mask, n_head=h, impl="xla")
+    out = attention_qkv_packed(jnp.concatenate([q, k, v], -1), mask,
+                               n_head=h, impl="flash_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_attention_flash_bf16_matches_xla_bf16():
     """Same dtype strategy as every kernel in this module: bf16 MXU
     operands, fp32 accumulation/softmax — within bf16 output rounding of
