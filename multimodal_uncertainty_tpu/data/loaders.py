@@ -10,6 +10,16 @@ Replaces torch DataLoader. Two flavors:
 Both reshuffle per epoch from a seeded RNG and expose ``len()`` = number of
 batches (ceil), matching torch DataLoader(drop_last=False) semantics used
 throughout the reference.
+
+Epoch permutations are STATELESS functions of ``(seed, epoch)``
+(:func:`_epoch_perm`): iterating epoch e always sees the same shuffle, no
+matter how many prior iterations ran in this process. That is what makes
+mid-epoch preemption resume exact (``training/preemption.py``) — a resumed
+run re-derives epoch e's permutation and skips the already-consumed batches
+via ``iter_epoch(e, start_batch)`` — and it also means a ``--resume`` run
+replays the same data order the uninterrupted run would have seen (the
+reference's torch DataLoader draws from a global generator, so its resumed
+runs silently change data order).
 """
 from __future__ import annotations
 
@@ -19,6 +29,14 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
+
+
+def _epoch_perm(seed: int, epoch: int, n: int, shuffle: bool) -> np.ndarray:
+    """Index order for one epoch, derived statelessly from (seed, epoch)."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng([seed, epoch]).shuffle(idx)
+    return idx
 
 
 class ArrayLoader:
@@ -41,16 +59,21 @@ class ArrayLoader:
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._auto_epoch = 0
 
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        idx = np.arange(self.n)
-        if self.shuffle:
-            self._rng.shuffle(idx)
-        for start in range(0, self.n, self.batch_size):
+        epoch, self._auto_epoch = self._auto_epoch, self._auto_epoch + 1
+        return self.iter_epoch(epoch)
+
+    def iter_epoch(self, epoch: int, start_batch: int = 0):
+        """Iterate epoch ``epoch`` deterministically, skipping the first
+        ``start_batch`` batches without materializing them."""
+        idx = _epoch_perm(self.seed, epoch, self.n, self.shuffle)
+        for start in range(start_batch * self.batch_size, self.n, self.batch_size):
             sel = idx[start : start + self.batch_size]
             batch = tuple(a[sel] for a in self.arrays)
             yield batch if len(batch) > 2 else (batch[0], batch[1])
@@ -79,7 +102,8 @@ class MapLoader:
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._auto_epoch = 0
         self._pool = (
             ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
         )
@@ -95,12 +119,16 @@ class MapLoader:
         return self.collate_fn(items)
 
     def __iter__(self):
-        idx = np.arange(self.n)
-        if self.shuffle:
-            self._rng.shuffle(idx)
+        epoch, self._auto_epoch = self._auto_epoch, self._auto_epoch + 1
+        return self.iter_epoch(epoch)
+
+    def iter_epoch(self, epoch: int, start_batch: int = 0):
+        """Iterate epoch ``epoch`` deterministically, skipping the first
+        ``start_batch`` batches without fetching/collating their items."""
+        idx = _epoch_perm(self.seed, epoch, self.n, self.shuffle)
         batches = [
             idx[s : s + self.batch_size] for s in range(0, self.n, self.batch_size)
-        ]
+        ][start_batch:]
         if self.prefetch <= 0:
             for sel in batches:
                 yield self._make_batch(sel)
@@ -189,6 +217,11 @@ class DevicePrefetcher:
         return len(self.loader)
 
     def __iter__(self):
+        return self.iter_over(self.loader)
+
+    def iter_over(self, batches):
+        """Prefetch over an explicit batch iterable (e.g. a loader's
+        ``iter_epoch``) instead of ``iter(self.loader)``."""
         put = self.put_fn
         if put is None:
             import jax
@@ -199,7 +232,7 @@ class DevicePrefetcher:
                 return jax.tree_util.tree_map(jnp.asarray, batch)
 
         yield from _produce_in_thread(
-            (lambda b=b: put(b) for b in self.loader), self.depth
+            (lambda b=b: put(b) for b in batches), self.depth
         )
 
 

@@ -145,9 +145,30 @@ def resume_train_state(state, checkpoint_path: str, scheduler=None):
     when a plateau ``scheduler`` is passed — its decision state
     (best/num_bad_epochs/cooldown), so a resumed run drops the LR at the
     same epoch the uninterrupted run would."""
+    state, _ = _resume(state, checkpoint_path, scheduler)
+    return state
+
+
+def resume_midtrain_state(state, checkpoint_path: str, scheduler=None):
+    """Resume from a mid-epoch checkpoint (``model_midtrain.pt``, written on
+    preemption or by --checkpoint_every_steps; training/preemption.py).
+    Returns ``(state, mid)`` where ``mid`` carries the interrupted epoch,
+    the next batch index and the epoch's running sums — pass it to
+    ``Trainer.train_loop(resume_mid=...)``."""
+    _, opt_sd = load_weights(checkpoint_path)
+    if not (isinstance(opt_sd, dict) and "mid" in opt_sd):
+        # checked BEFORE restoring so the template state is untouched
+        raise ValueError(
+            f"{checkpoint_path} is not a mid-epoch checkpoint (no 'mid' blob)"
+        )
+    return _resume(state, checkpoint_path, scheduler)
+
+
+def _resume(state, checkpoint_path: str, scheduler=None):
     import jax.numpy as jnp
 
     model_sd, opt_sd = load_weights(checkpoint_path)
+    mid = opt_sd.pop("mid", None) if isinstance(opt_sd, dict) else None
     if scheduler is not None and isinstance(opt_sd, dict) and "scheduler" in opt_sd:
         scheduler.load_state_dict(
             {k: type(getattr(scheduler, k))(v)
@@ -174,4 +195,4 @@ def resume_train_state(state, checkpoint_path: str, scheduler=None):
                 )
         else:  # legacy layout: bare optimizer pytree
             new = new.replace(opt_state=restore_into(state.opt_state, opt_sd))
-    return new
+    return new, mid

@@ -22,6 +22,7 @@ Behavioral parity preserved exactly:
 from __future__ import annotations
 
 import math
+import os
 import timeit
 from typing import Any, Callable, Iterable, Optional, Sequence
 
@@ -45,6 +46,27 @@ from multimodal_uncertainty_tpu.training.steps import (
 
 def _device_batch(batch):
     return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def _epoch_iterator(generator, epoch: int, start_batch: int):
+    """Epoch-deterministic iteration when the generator supports it.
+
+    Loaders expose ``iter_epoch(epoch, start_batch)`` (stateless shuffle —
+    see data/loaders.py); a DevicePrefetcher is unwrapped so prefetch rides
+    the explicit epoch iterator. Plain iterables fall back to ``iter`` (+
+    islice when resuming mid-epoch)."""
+    from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
+
+    if isinstance(generator, DevicePrefetcher):
+        inner = _epoch_iterator(generator.loader, epoch, start_batch)
+        return generator.iter_over(inner)
+    if hasattr(generator, "iter_epoch"):
+        return generator.iter_epoch(epoch, start_batch)
+    if start_batch:
+        import itertools
+
+        return itertools.islice(iter(generator), start_batch, None)
+    return iter(generator)
 
 
 class Trainer:
@@ -162,6 +184,16 @@ class Trainer:
                 {f"{phase}_{m}": float(v) for m, v in zip(self.metrics_names, weighted)}
             )
         if auc or ece:
+            if jax.process_count() > 1:
+                # data-sharded eval outputs are not host-readable on any
+                # single process; allgather them (epoch-granular, off the
+                # step path)
+                from multimodal_uncertainty_tpu.parallel.multihost import (
+                    gather_to_host,
+                )
+
+                preds_all = [gather_to_host(p) for p in preds_all]
+                labels_all = [gather_to_host(l) for l in labels_all]
             preds = np.concatenate(jax.device_get(preds_all), axis=0)
             labels = np.concatenate(jax.device_get(labels_all), axis=0).reshape(-1)
             if auc:
@@ -199,8 +231,21 @@ class Trainer:
         scheduler_metric: Optional[str] = None,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 2,
+        preemption=None,
+        midtrain_path: Optional[str] = None,
+        checkpoint_every_steps: Optional[int] = None,
+        resume_mid: Optional[dict] = None,
         **kwargs: Any,
     ):
+        """(Preemption args — see training/preemption.py:) ``preemption`` is
+        a PreemptionGuard polled at batch boundaries; when it triggers, the
+        full mid-epoch state is saved to ``midtrain_path`` and the loop
+        returns with ``self.preempted = True``. ``checkpoint_every_steps``
+        additionally writes the same artifact every N batches (crash
+        recovery without a signal). ``resume_mid`` is the ``mid`` blob from
+        a previous mid-epoch checkpoint: the interrupted epoch continues
+        from its recorded batch with its running sums, reproducing the
+        uninterrupted run exactly."""
         callback_list = CallbackList(list(callbacks))
         if self.verbose:
             callback_list.append(ProgressionCallback())
@@ -220,6 +265,9 @@ class Trainer:
 
         stop_training = False
         stopped_epoch, counter = 0, 0
+        self.preempted = False
+        if resume_mid is not None:
+            counter = int(resume_mid.get("acc100_counter", 0))
 
         callback_list.on_train_begin({})
         for epoch in range(epoch_start, epochs + 1):
@@ -241,7 +289,55 @@ class Trainer:
             n_steps = steps_per_epoch if steps_per_epoch is not None else len(
                 train_generator
             )
-            for batch_ind, (x, y) in zip(range(1, n_steps + 1), train_generator):
+            # mid-epoch resume: re-enter the interrupted epoch at its
+            # recorded batch, with its running weighted sums as the base
+            start_batch = 0
+            base_loss_sum = base_size_sum = 0.0
+            base_metric_sums = np.zeros(len(self.metrics_names), np.float64)
+            if resume_mid is not None and int(resume_mid["epoch"]) == epoch:
+                start_batch = int(resume_mid["next_batch"])
+                base_loss_sum = float(resume_mid["loss_sum"])
+                base_size_sum = float(resume_mid["size_sum"])
+                base_metric_sums = np.asarray(
+                    resume_mid["metric_sums"], np.float64
+                )
+                resume_mid = None
+
+            def _epoch_sums():
+                if not losses:
+                    return base_loss_sum, base_metric_sums, base_size_sum
+                s = np.asarray(sizes, np.float64)
+                ls = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
+                m = np.asarray(
+                    jax.device_get(jnp.asarray(metric_vals)), np.float64
+                )
+                return (
+                    base_loss_sum + float((ls * s).sum()),
+                    base_metric_sums + (m * s[:, None]).sum(0),
+                    base_size_sum + float(s.sum()),
+                )
+
+            def _save_midtrain(completed):
+                loss_sum, metric_sums, size_sum = _epoch_sums()
+                variables, opt = self.checkpointable_state()
+                opt["mid"] = {
+                    "epoch": np.asarray(epoch, np.int64),
+                    "next_batch": np.asarray(completed, np.int64),
+                    "loss_sum": np.asarray(loss_sum, np.float64),
+                    "metric_sums": np.asarray(metric_sums, np.float64),
+                    "size_sum": np.asarray(size_sum, np.float64),
+                    "acc100_counter": np.asarray(counter, np.int64),
+                }
+                from multimodal_uncertainty_tpu.training.checkpoint import (
+                    save_weights,
+                )
+
+                save_weights(variables, opt, midtrain_path)
+
+            epoch_iter = _epoch_iterator(train_generator, epoch, start_batch)
+            for batch_ind, (x, y) in zip(
+                range(start_batch + 1, n_steps + 1), epoch_iter
+            ):
                 batch_begin_time = timeit.default_timer()
                 callback_list.on_batch_begin(batch_ind, {})
                 callback_list.on_forward_begin(batch_ind, (x, y))
@@ -266,8 +362,39 @@ class Trainer:
                         **{m: logs[m] for m in self.metrics_names},
                     },
                 )
+                if (
+                    preemption is not None
+                    and preemption.triggered
+                    and batch_ind < n_steps
+                ):
+                    # midtrain_path is None on non-primary multihost
+                    # processes: they stop at the same boundary (every
+                    # process sees the signal) but only one host writes
+                    if midtrain_path is not None:
+                        _save_midtrain(batch_ind)
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    from multimodal_uncertainty_tpu.training.checkpoint import (
+                        flush_pending_writes,
+                    )
 
-            if not losses:
+                    flush_pending_writes()
+                    self.preempted = True
+                    print(
+                        f"Preempted at epoch {epoch} batch {batch_ind}: "
+                        f"mid-epoch state saved to {midtrain_path}; "
+                        f"resume to continue from the next batch"
+                    )
+                    return self.state
+                if (
+                    midtrain_path is not None
+                    and checkpoint_every_steps
+                    and batch_ind % checkpoint_every_steps == 0
+                    and batch_ind < n_steps
+                ):
+                    _save_midtrain(batch_ind)
+
+            if not losses and base_size_sum == 0.0:
                 raise RuntimeError(
                     f"epoch {epoch}: train generator yielded no batches "
                     f"(expected {n_steps} steps) — check the data pipeline"
@@ -278,17 +405,30 @@ class Trainer:
                 jax.device_get(losses[-1])
                 jax.profiler.stop_trace()
 
-            sizes_np = np.asarray(sizes, np.float64)
-            losses_np = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
-            mv = np.asarray(jax.device_get(jnp.asarray(metric_vals)), np.float64)
-            denom = sizes_np.sum() if sizes_np.sum() else 1.0
-            train_dict = {"loss": float((losses_np * sizes_np).sum() / denom)}
-            weighted = (mv * sizes_np[:, None]).sum(0) / denom
+            loss_sum, metric_sums, size_sum = _epoch_sums()
+            denom = size_sum if size_sum else 1.0
+            train_dict = {"loss": loss_sum / denom}
             train_dict.update(
-                {m: float(v) for m, v in zip(self.metrics_names, weighted)}
+                {
+                    m: float(v)
+                    for m, v in zip(self.metrics_names, metric_sums / denom)
+                }
             )
             if math.isnan(train_dict["loss"]):
                 stop_training = True
+
+            if midtrain_path is not None and os.path.exists(midtrain_path):
+                # the epoch completed: its mid-epoch recovery point is stale
+                # (resume must go through model_last_epoch.pt). Removal rides
+                # the writer queue so it lands after any queued write of the
+                # same file.
+                from multimodal_uncertainty_tpu.training.checkpoint import (
+                    enqueue_after_writes,
+                )
+
+                enqueue_after_writes(
+                    lambda p=midtrain_path: os.path.exists(p) and os.remove(p)
+                )
 
             val_dict = (
                 self.eval_loop(valid_generator, "val", steps=validation_steps,

@@ -1,0 +1,92 @@
+"""Worker process for tests/test_multihost.py (not a test module).
+
+Runs a short FashionMNIST MIMO training on an 8-CPU-device 'data' mesh,
+either as ONE process owning all 8 devices or as one of TWO processes
+owning 4 each (jax.distributed over a localhost coordinator). Saves final
+params + per-epoch losses so the test can compare the two topologies.
+
+Usage: python multihost_worker.py OUTDIR NUM_PROCESSES PROCESS_ID PORT
+"""
+import os
+import sys
+
+
+def main():
+    out_dir, num_procs, pid, port = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    )
+    n_local = 8 // num_procs
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local} "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+
+    import jax
+
+    # this environment's sitecustomize pins jax_platforms="axon,cpu"
+    # (a tunneled TPU platform); override after import like tests/conftest.py
+    jax.config.update("jax_platforms", "cpu")
+
+    from multimodal_uncertainty_tpu.parallel.multihost import (
+        initialize,
+        is_primary,
+        put_global_batch_fn,
+    )
+
+    if num_procs > 1:
+        initialize(f"localhost:{port}", num_processes=num_procs, process_id=pid)
+    assert jax.device_count() == 8, jax.devices()
+
+    import numpy as np
+
+    from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+    from multimodal_uncertainty_tpu.parallel.sharding import shard_state
+    from multimodal_uncertainty_tpu.training.trainer import Trainer
+    from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+    train, _, _ = get_fmnist(
+        batch_size=32, synthetic=True, synthetic_n=128, seed=7
+    )
+    setup = setup_fashionmnist(
+        model_type="MultiHead", lr=0.05, total_steps=len(train) * 2,
+        seed_key=jax.random.key(1), attn_impl="xla",
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    state = shard_state(setup.state, mesh)
+
+    trainer = Trainer(
+        setup.bundle,
+        setup.optimizer,
+        state,
+        rng=jax.random.key(2),
+        size_fn=setup.size_fn,
+        verbose=False,
+        put_batch_fn=put_global_batch_fn(mesh),
+    )
+    H = {}
+
+    from multimodal_uncertainty_tpu.training.callbacks import LambdaCallback
+
+    cb = LambdaCallback(
+        on_epoch_end=lambda epoch, logs: H.setdefault("loss", []).append(
+            logs["loss"]
+        )
+    )
+    trainer.train_loop(train, steps_per_epoch=len(train), epochs=2,
+                       callbacks=[cb], patience=10)
+
+    if is_primary():
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        np.savez(
+            os.path.join(out_dir, f"result_np{num_procs}.npz"),
+            losses=np.asarray(H["loss"], np.float64),
+            **{f"p{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)},
+        )
+    print(f"worker {pid}/{num_procs} done", flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

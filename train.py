@@ -93,6 +93,13 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="background-thread host->device transfer of "
                              "upcoming batches (overlaps with the running "
                              "step)")
+    parser.add_argument("--checkpoint_every_steps", type=int, default=None,
+                        help="also write a mid-epoch recovery checkpoint "
+                             "(model_midtrain.pt) every N batches; SIGTERM "
+                             "preemption writes the same artifact at the "
+                             "next batch boundary regardless. --resume "
+                             "picks it up and continues from the exact "
+                             "batch (training/preemption.py)")
     parser.add_argument("--keep_epoch_ckpts", type=int, default=None,
                         help="retain only the newest N model_epoch_*.pt "
                              "(best/last never pruned; default: keep all, "
@@ -127,6 +134,18 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="devices on the 'data' mesh axis")
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="devices on the 'model' (tensor-parallel) axis")
+    # multi-HOST (one process per host; parallel/multihost.py). On TPU pods
+    # all three are discovered from the environment — pass --num_processes 0
+    # to trigger auto-init; on CPU fleets pass them explicitly.
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation-cache directory "
+                             "(jax_compilation_cache_dir): restarts and "
+                             "preemption resumes skip recompilation")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (jax.distributed)")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="total training processes (0 = auto-discover)")
+    parser.add_argument("--process_id", type=int, default=None)
 
 
 def add_conditional_args(args):
@@ -169,11 +188,31 @@ def main():
     from multimodal_uncertainty_tpu.training.loop import (
         construct_default_callbacks,
         load_history,
+        resume_midtrain_state,
         resume_train_state,
     )
+    from multimodal_uncertainty_tpu.training.preemption import PreemptionGuard
     from multimodal_uncertainty_tpu.training.trainer import Trainer
     from multimodal_uncertainty_tpu.utils.seeding import set_seed
     from multimodal_uncertainty_tpu import zoo
+
+    # latch SIGTERM from the very start: a preemption notice arriving during
+    # import/compile (tens of seconds on TPU) must not kill the process
+    # before the trainer gets a chance to stop at a batch boundary
+    guard = PreemptionGuard().install()
+
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if args.coordinator_address is not None or args.num_processes != 1:
+        from multimodal_uncertainty_tpu.parallel import multihost
+
+        multihost.initialize(
+            args.coordinator_address,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id,
+        )
 
     root_key = set_seed(args.seed)
     if args.data_parallel * args.model_parallel > 1 and args.attn_impl in (
@@ -309,14 +348,45 @@ def main():
     os.makedirs(args.save_path, exist_ok=True)
     history_csv_path = os.path.join(args.save_path, "history.csv")
 
+    midtrain_path = os.path.join(args.save_path, "model_midtrain.pt")
     state = setup.state
+    resume_mid = None
+    if args.resume and not (
+        os.path.exists(midtrain_path)
+        or os.path.exists(os.path.join(args.save_path, "model_last_epoch.pt"))
+    ):
+        # preempted before any checkpoint landed (e.g. during the first
+        # epoch's compile): nothing to restore — start fresh instead of
+        # crashing, so orchestrators can always restart with --resume
+        logger.warning("--resume: no checkpoint in %s; starting fresh",
+                       args.save_path)
+        args.resume = False
     if args.resume:
-        state = resume_train_state(
-            state, os.path.join(args.save_path, "model_last_epoch.pt"),
-            scheduler=setup.plateau,
-        )
-        H = load_history(args.save_path)
+        H = load_history(args.save_path) if os.path.exists(history_csv_path) else {"epoch": []}
         epoch_start = len(H["epoch"]) + 1
+        if os.path.exists(midtrain_path):
+            # interrupted mid-epoch: continue that epoch from its recorded
+            # batch (exact — see training/preemption.py). A stale midtrain
+            # file (epoch already completed per history.csv) is ignored.
+            state, resume_mid = resume_midtrain_state(
+                state, midtrain_path, scheduler=setup.plateau
+            )
+            if int(resume_mid["epoch"]) != epoch_start:
+                logger.warning(
+                    "ignoring stale %s (epoch %d; history says resume at %d)",
+                    midtrain_path, int(resume_mid["epoch"]), epoch_start,
+                )
+                resume_mid = None
+                state = resume_train_state(
+                    setup.state,
+                    os.path.join(args.save_path, "model_last_epoch.pt"),
+                    scheduler=setup.plateau,
+                )
+        else:
+            state = resume_train_state(
+                state, os.path.join(args.save_path, "model_last_epoch.pt"),
+                scheduler=setup.plateau,
+            )
     else:
         H = {}
         if os.path.exists(history_csv_path):
@@ -335,12 +405,26 @@ def main():
 
         mesh = make_mesh(n_mesh, model_parallel=args.model_parallel)
         state = shard_state(state, mesh, tp=args.model_parallel > 1)
-        put_batch = put_batch_fn(mesh)
+        if jax.process_count() > 1:
+            # per-process batch construction: every host feeds its own
+            # contiguous row-block of the global batch
+            from multimodal_uncertainty_tpu.parallel.multihost import (
+                put_global_batch_fn,
+            )
+
+            put_batch = put_global_batch_fn(mesh)
+        else:
+            put_batch = put_batch_fn(mesh)
         logger.info("mesh: %s", dict(mesh.shape))
 
-    callbacks = construct_default_callbacks(
-        H, args.save_path, checkpoint_monitor="val_acc",
-        keep_epoch_ckpts=args.keep_epoch_ckpts,
+    primary = jax.process_index() == 0
+    callbacks = (
+        construct_default_callbacks(
+            H, args.save_path, checkpoint_monitor="val_acc",
+            keep_epoch_ckpts=args.keep_epoch_ckpts,
+        )
+        if primary  # one writer: checkpoints/history only on process 0
+        else []
     )
     for clbk in callbacks:
         clbk.set_save_path(args.save_path)
@@ -356,7 +440,7 @@ def main():
             else 1
         ),
         size_fn=setup.size_fn,
-        verbose=True,
+        verbose=primary,
         put_batch_fn=put_batch,
         device_prefetch=args.device_prefetch,
     )
@@ -377,7 +461,13 @@ def main():
         ece=args.ece,
         freeze_img=args.freeze_img,
         freeze_txt=args.freeze_txt,
+        preemption=guard,
+        midtrain_path=midtrain_path if primary else None,
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        resume_mid=resume_mid,
     )
+    if getattr(trainer, "preempted", False):
+        logger.warning("run preempted; restart with --resume to continue")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ hermetic runs without the dataset images."""
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 
@@ -59,11 +60,16 @@ def main():
     from multimodal_uncertainty_tpu.training.loop import (
         construct_default_callbacks,
         load_history,
+        resume_midtrain_state,
         resume_train_state,
     )
+    from multimodal_uncertainty_tpu.training.preemption import PreemptionGuard
     from multimodal_uncertainty_tpu.training.trainer import Trainer
     from multimodal_uncertainty_tpu.utils.seeding import set_seed
     from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+    # latch SIGTERM before the slow import/compile phase (see train.py)
+    guard = PreemptionGuard().install()
 
     root_key = set_seed(args.seed)
 
@@ -96,14 +102,41 @@ def main():
 
     os.makedirs(args.save_path, exist_ok=True)
     history_csv_path = os.path.join(args.save_path, "history.csv")
+    midtrain_path = os.path.join(args.save_path, "model_midtrain.pt")
     state = setup.state
-    if args.resume:
-        state = resume_train_state(
-            state, os.path.join(args.save_path, "model_last_epoch.pt"),
-            scheduler=setup.plateau,
+    resume_mid = None
+    if args.resume and not (
+        os.path.exists(midtrain_path)
+        or os.path.exists(os.path.join(args.save_path, "model_last_epoch.pt"))
+    ):
+        # preempted before any checkpoint landed: start fresh, don't crash
+        logging.getLogger(__name__).warning(
+            "--resume: no checkpoint in %s; starting fresh", args.save_path
         )
-        H = load_history(args.save_path)
+        args.resume = False
+    if args.resume:
+        H = (
+            load_history(args.save_path)
+            if os.path.exists(history_csv_path)
+            else {"epoch": []}
+        )
         epoch_start = len(H["epoch"]) + 1
+        if os.path.exists(midtrain_path):
+            state, resume_mid = resume_midtrain_state(
+                state, midtrain_path, scheduler=setup.plateau
+            )
+            if int(resume_mid["epoch"]) != epoch_start:  # stale mid file
+                resume_mid = None
+                state = resume_train_state(
+                    setup.state,
+                    os.path.join(args.save_path, "model_last_epoch.pt"),
+                    scheduler=setup.plateau,
+                )
+        else:
+            state = resume_train_state(
+                state, os.path.join(args.save_path, "model_last_epoch.pt"),
+                scheduler=setup.plateau,
+            )
     else:
         H = {}
         if os.path.exists(history_csv_path):
@@ -141,6 +174,9 @@ def main():
         scheduler_step_on="epoch",
         scheduler_metric=setup.scheduler_metric,
         auc=False,
+        preemption=guard,
+        midtrain_path=midtrain_path,
+        resume_mid=resume_mid,
     )
 
 
