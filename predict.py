@@ -39,6 +39,13 @@ def main():
                         help="int8 serving: dynamic W8A8 or weight-only "
                              "(TPU throughput/accuracy trade-offs in "
                              "BASELINE.md)")
+    parser.add_argument("--serve", type=int, default=None, metavar="PORT",
+                        help="instead of batch CSV prediction, serve the "
+                             "model over HTTP (POST /v1/predict with "
+                             '{"img": [[...]], "txt": [[...]]}; dynamic '
+                             "micro-batching; 0 = ephemeral port)")
+    parser.add_argument("--serve_max_batch", type=int, default=32)
+    parser.add_argument("--serve_max_wait_ms", type=float, default=5.0)
     args = parser.parse_args()
 
     import jax
@@ -75,6 +82,32 @@ def main():
         batch_buckets=(args.batch_size,),
         quantize=args.quantize,
     )
+
+    if args.serve is not None:
+        from multimodal_uncertainty_tpu.serving import fusion_micro_batcher
+        from multimodal_uncertainty_tpu.server import (
+            PredictionServer,
+            fusion_request,
+        )
+
+        mb = fusion_micro_batcher(
+            predictor, max_batch=args.serve_max_batch,
+            max_wait_ms=args.serve_max_wait_ms,
+        )
+        srv = PredictionServer(mb, fusion_request, port=args.serve).start()
+        print(f"serving on http://{srv.host}:{srv.port} "
+              f"(POST /v1/predict, GET /healthz, /statz); Ctrl-C to stop",
+              flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.close()
+            mb.close()
+        return
 
     ds = PackedFlavaDataset(os.path.join(datapath, "flava_packed"), args.phase)
     rows = []

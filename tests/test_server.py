@@ -1,0 +1,170 @@
+"""HTTP serving front end (server.py): routing, coalescing, errors.
+
+Layer split mirrors the code: the HTTP layer is tested against a fake
+batcher (fast, no device), then one integration case drives
+HTTP -> MicroBatcher -> FusionPredictor end to end and checks the probs
+match a direct predictor call.
+"""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from multimodal_uncertainty_tpu.server import PredictionServer, fusion_request
+
+
+def _post(port, path, payload, timeout=30):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(port, path, timeout=10):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=timeout
+    ) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_layer_with_fake_batcher():
+    calls = []
+
+    def fake_batcher(sample):
+        calls.append(sample)
+        img, txt = sample
+        return np.asarray([float(img.sum()), float(txt.sum())])
+
+    srv = PredictionServer(fake_batcher, fusion_request).start()
+    try:
+        payload = {"img": [[1.0, 2.0]], "txt": [[3.0, 4.0], [5.0, 6.0]]}
+        status, out = _post(srv.port, "/v1/predict", payload)
+        assert status == 200
+        np.testing.assert_allclose(out["probs"], [3.0, 18.0])
+
+        status, health = _get(srv.port, "/healthz")
+        assert status == 200 and health["status"] == "ok"
+        assert health["requests"] == 1
+
+        status, stats = _get(srv.port, "/statz")
+        assert stats["requests"] == 1 and stats["errors"] == 0
+        assert stats["mean_ms"] > 0
+    finally:
+        srv.close()
+
+
+def test_http_error_codes():
+    srv = PredictionServer(lambda s: s, fusion_request).start()
+    try:
+        # missing keys -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/predict", {"img": [[1.0]]})
+        assert e.value.code == 400
+        # wrong rank -> 400 (decoder validation)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/predict", {"img": [1.0], "txt": [[1.0]]})
+        assert e.value.code == 400
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/nope", {})
+        assert e.value.code == 404
+        _, stats = _get(srv.port, "/statz")
+        assert stats["errors"] == 2  # 404s aren't predictor errors
+    finally:
+        srv.close()
+
+    def boom(sample):
+        raise RuntimeError("device on fire")
+
+    srv2 = PredictionServer(boom, fusion_request).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv2.port, "/v1/predict", {"img": [[1.0]], "txt": [[1.0]]})
+        assert e.value.code == 500
+    finally:
+        srv2.close()
+
+
+def test_concurrent_requests_coalesce():
+    """Concurrent HTTP callers land in one (or few) coalesced batch."""
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    batch_sizes = []
+
+    def predict_batch(samples):
+        batch_sizes.append(len(samples))
+        return [np.asarray([s[0].sum()]) for s in samples]
+
+    mb = MicroBatcher(predict_batch, max_batch=16, max_wait_ms=50)
+    srv = PredictionServer(mb, fusion_request).start()
+    try:
+        results = {}
+
+        def call(i):
+            payload = {"img": [[float(i)]], "txt": [[0.0]]}
+            _, out = _post(srv.port, "/v1/predict", payload)
+            results[i] = out["probs"][0]
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == {i: float(i) for i in range(8)}
+        # 8 concurrent callers served in fewer dispatches than requests
+        assert sum(batch_sizes) == 8 and len(batch_sizes) < 8
+    finally:
+        srv.close()
+        mb.close()
+
+
+def test_end_to_end_fusion_predictor(tmp_path):
+    import jax
+
+    from multimodal_uncertainty_tpu.models import FlavaFusionTransformer
+    from multimodal_uncertainty_tpu.serving import (
+        FusionPredictor,
+        fusion_micro_batcher,
+    )
+    from multimodal_uncertainty_tpu.training.checkpoint import save_weights
+
+    D = 32
+    model = FlavaFusionTransformer(
+        out_dim=2, num_classes=3, image_hidden_size=D, text_hidden_size=D,
+        multimodal_hidden_size=D, multimodal_num_attention_heads=2,
+        multimodal_num_hidden_layers=1, attn_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(0)}, (img, txt), train=False
+    )
+    ckpt = str(tmp_path / "model_best_val.pt")
+    save_weights(variables, None, ckpt)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16),
+    )
+    mb = fusion_micro_batcher(pred, max_batch=8, max_wait_ms=5)
+    srv = PredictionServer(mb, fusion_request).start()
+    try:
+        s_img = rng.normal(size=(5, D)).astype(np.float32)
+        s_txt = rng.normal(size=(4, D)).astype(np.float32)
+        _, out = _post(
+            srv.port, "/v1/predict",
+            {"img": s_img.tolist(), "txt": s_txt.tolist()},
+        )
+        direct = pred.predict(s_img[None], s_txt[None])[0]
+        np.testing.assert_allclose(out["probs"], direct, atol=1e-5)
+        np.testing.assert_allclose(np.sum(out["probs"]), 1.0, atol=1e-5)
+    finally:
+        srv.close()
+        mb.close()
