@@ -242,3 +242,112 @@ def test_resume_midtrain_rejects_plain_checkpoint(tmp_path):
         resume_midtrain_state(
             setup.state, os.path.join(tmp_path, "model_last_epoch.pt")
         )
+
+
+class _ListLoader:
+    """Fixed batch list with the iter_epoch protocol (no shuffle)."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def iter_epoch(self, epoch, start_batch=0):
+        return iter(self.batches[start_batch:])
+
+
+def test_midepoch_preempt_resume_exact_with_accumulation(tmp_path):
+    """The hard state: preempt INSIDE a gradient-accumulation window of a
+    BatchNorm model under a freeze schedule. The pending accum buffer, the
+    micro-step counter, batch_stats and the traced freeze masks must all
+    survive the restart bit-exactly (mid blob carries accum_grads via
+    checkpointable_state)."""
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.zoo import setup_mmbt
+
+    def make_setup():
+        cfg = BertConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64,
+        )
+        return setup_mmbt(
+            n_classes=5, bert_config=cfg, num_image_embeds=3,
+            resnet_layers=(1, 1, 1, 1), image_size=64,
+            gradient_accumulation_steps=2, sample_txt_len=6,
+            attn_impl="xla", seed_key=jax.random.key(0),
+        )
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(4):
+        txt = rng.integers(0, 200, size=(8, 6)).astype(np.int32)
+        mask = np.ones((8, 6), np.int32)
+        segment = np.ones((8, 6), np.int32)
+        img = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+        y = rng.integers(0, 5, size=8).astype(np.int64)
+        batches.append(((txt, mask, segment, img), y))
+    train = _ListLoader(batches)
+
+    def run(trigger, state=None, resume_mid=None, epoch_start=1, mid_path=None):
+        setup = make_setup()
+        tr = Trainer(
+            setup.bundle, setup.optimizer,
+            state if state is not None else setup.state,
+            rng=jax.random.key(5), plateau_scheduler=None,
+            gradient_accumulation_steps=2, size_fn=setup.size_fn,
+            verbose=False,
+        )
+        cbs = [] if trigger is None else [trigger]
+        tr.train_loop(
+            train, steps_per_epoch=len(train), epochs=2, callbacks=cbs,
+            patience=10, epoch_start=epoch_start,
+            freeze_img=2, freeze_txt=0,  # epoch 1 frozen, epoch 2 not
+            preemption=getattr(trigger, "guard", None),
+            midtrain_path=mid_path, resume_mid=resume_mid,
+        )
+        return tr, setup
+
+    # uninterrupted
+    tr_a, _ = run(None)
+
+    # preempt at epoch 2, batch 3: the accum window is OPEN (batch 3's
+    # grads are pending in accum_grads, optimizer applies on even counts)
+    guard = PreemptionGuard()
+    trig = _TriggerAt(guard, epoch=2, batch=3)
+    trig.guard = guard
+    mid_path = str(tmp_path / "model_midtrain.pt")
+    tr_b, setup_b = run(trig, mid_path=mid_path)
+    assert tr_b.preempted and os.path.exists(mid_path)
+
+    from multimodal_uncertainty_tpu.training.loop import resume_midtrain_state
+
+    setup_c = make_setup()
+    state_c, mid = resume_midtrain_state(setup_c.state, mid_path)
+    assert int(mid["next_batch"]) == 3
+    # the pending accumulation buffer must be non-zero in the checkpoint
+    accum_norm = sum(
+        float(jnp.sum(jnp.abs(l)))
+        for l in jax.tree_util.tree_leaves(state_c.accum_grads)
+    )
+    assert accum_norm > 0, "open accum window lost across preemption"
+
+    tr_c, _ = run(None, state=state_c, resume_mid=mid, epoch_start=2,
+                  mid_path=mid_path)
+
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(
+            (tr_a.state.params, tr_a.state.batch_stats, tr_a.state.opt_state)
+        ),
+        jax.tree_util.tree_leaves(
+            (tr_c.state.params, tr_c.state.batch_stats, tr_c.state.opt_state)
+        ),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert int(tr_a.state.step) == int(tr_c.state.step)

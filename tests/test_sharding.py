@@ -584,3 +584,58 @@ def test_pipeline_parallel_matches_sequential():
     pipe_remat = pipeline_sharded(jax.checkpoint(stage), mesh,
                                   pipe_axis="pipe")
     check(pipe_remat, xs)
+
+
+def test_checkpoint_restores_across_topologies(tmp_path):
+    """Elasticity: checkpoints are topology-free host pytrees — a run
+    trained unsharded restores onto an 8-device DP mesh (and the sharded
+    eval matches), so preempted jobs can resume on a DIFFERENT slice
+    shape. The mid-epoch recovery file has the same property (same
+    save path)."""
+    import os
+
+    from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
+    from multimodal_uncertainty_tpu.training.loop import resume_train_state
+    from multimodal_uncertainty_tpu.training.trainer import Trainer
+    from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
+
+    train, valid, _ = get_fmnist(
+        batch_size=32, synthetic=True, synthetic_n=128, seed=7
+    )
+    setup = setup_fashionmnist(
+        model_type="MultiHead", lr=0.05, seed_key=jax.random.key(1),
+        attn_impl="xla",
+    )
+    tr = Trainer(setup.bundle, setup.optimizer, setup.state,
+                 rng=jax.random.key(2), size_fn=setup.size_fn, verbose=False)
+    tr.train_loop(train, steps_per_epoch=len(train), epochs=1, patience=10)
+    ref_eval = tr.eval_loop(valid, "val")
+
+    ckpt = os.path.join(tmp_path, "model_last_epoch.pt")
+    from multimodal_uncertainty_tpu.training.checkpoint import (
+        flush_pending_writes,
+        save_weights,
+    )
+
+    variables, opt = tr.checkpointable_state()
+    save_weights(variables, opt, ckpt)
+    flush_pending_writes()
+
+    # restore into a FRESH setup and place it on an 8-device data mesh
+    fresh = setup_fashionmnist(
+        model_type="MultiHead", lr=0.05, seed_key=jax.random.key(9),
+        attn_impl="xla",
+    )
+    restored = resume_train_state(fresh.state, ckpt)
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = shard_state(restored, mesh)
+    tr8 = Trainer(fresh.bundle, fresh.optimizer, sharded,
+                  rng=jax.random.key(2), size_fn=fresh.size_fn,
+                  verbose=False, put_batch_fn=put_batch_fn(mesh))
+    mesh_eval = tr8.eval_loop(valid, "val")
+    np.testing.assert_allclose(
+        mesh_eval["val_loss"], ref_eval["val_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        mesh_eval["val_acc"], ref_eval["val_acc"], rtol=1e-6
+    )
