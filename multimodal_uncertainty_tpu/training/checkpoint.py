@@ -43,7 +43,10 @@ def _write_blob(state: dict, filename: str) -> None:
 
 def flush_pending_writes() -> None:
     """Block until all queued checkpoint writes are on disk (and any
-    queued retention pruning has run — the writer is a FIFO barrier)."""
+    queued retention pruning has run — the writer is a FIFO barrier).
+    Also finalizes any in-flight orbax saves when that backend is in use,
+    so every flush point (train end, preemption stop, atexit) covers both
+    backends."""
     with _pending_lock:
         futures = list(_pending.values())
     for f in futures:
@@ -52,6 +55,18 @@ def flush_pending_writes() -> None:
         _writer.submit(lambda: None).result()  # drain non-write tasks too
     except RuntimeError:  # interpreter/executor shutdown (atexit path)
         pass
+    import sys
+
+    orbax_io = sys.modules.get(
+        "multimodal_uncertainty_tpu.training.orbax_io"
+    )
+    if orbax_io is not None and orbax_io._CKPTR is not None:
+        try:
+            orbax_io._CKPTR.wait_until_finished()
+        except Exception:  # pragma: no cover - shutdown races
+            logging.getLogger(__name__).warning(
+                "orbax flush failed", exc_info=True
+            )
 
 
 atexit.register(flush_pending_writes)

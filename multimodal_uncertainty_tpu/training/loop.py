@@ -122,6 +122,125 @@ def prune_epoch_checkpoints(save_path: str, keep: int) -> list:
 _construct_default_callbacks = construct_default_callbacks
 
 
+class OrbaxEpochCheckpoint(Callback):
+    """Epoch-end checkpointing through the orbax backend
+    (``training/orbax_io.py``): sharding-aware directory saves, so a
+    TP-sharded multi-host state checkpoints without ever being gathered
+    onto one process — the regime where the msgpack path's device_get
+    cannot work. Mirrors the default callbacks' contract: one save per
+    epoch under ``{directory}/{epoch}``, best-val tracked in
+    ``best.json``, optional retention pruning (the best epoch is never
+    pruned). The plateau scheduler's decision state rides along in the
+    checkpoint's ``extra`` blob.
+
+    On multi-host, attach this callback on EVERY process (orbax saves are
+    collective); pass ``write_meta=False`` on non-primary processes so
+    best.json has a single writer.
+    """
+
+    def __init__(self, directory, monitor="val_acc", mode="max", keep=None,
+                 write_meta=True):
+        self.directory = directory
+        self.monitor = monitor
+        self.mode = mode
+        self.keep = keep
+        self.write_meta = write_meta
+        self.best = None
+        self.best_epoch = None
+
+    def _meta_path(self):
+        return os.path.join(self.directory, "best.json")
+
+    def on_train_begin(self, logs):
+        # resuming: pick up the previous best so a resumed run doesn't
+        # clobber best.json with a worse epoch
+        import json
+
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            self.best = meta.get(self.monitor)
+            self.best_epoch = meta.get("best_epoch")
+
+    def on_train_end(self, logs):
+        # saves are async (orbax finalizes a tmp-dir rename in the
+        # background); make the last epoch durable before the process can
+        # exit — otherwise a *.orbax-checkpoint-tmp is left behind and the
+        # run resumes one epoch early
+        from multimodal_uncertainty_tpu.training.orbax_io import _checkpointer
+
+        _checkpointer().wait_until_finished()
+
+    def on_epoch_end(self, epoch, logs):
+        import json
+        import shutil
+
+        from multimodal_uncertainty_tpu.training.orbax_io import (
+            save_train_state,
+        )
+
+        extra = None
+        sched = getattr(self.trainer, "plateau_scheduler", None)
+        if sched is not None:
+            extra = sched.state_dict()
+        save_train_state(self.trainer.state, self.directory, epoch,
+                         wait=False, extra=extra)
+
+        val = logs.get(self.monitor)
+        improved = val is not None and (
+            self.best is None
+            or (val > self.best if self.mode == "max" else val < self.best)
+        )
+        if improved:
+            self.best, self.best_epoch = float(val), int(epoch)
+            if self.write_meta:
+                tmp = self._meta_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"best_epoch": epoch, self.monitor: float(val)}, f
+                    )
+                os.replace(tmp, self._meta_path())
+
+        if self.keep is not None:
+            from multimodal_uncertainty_tpu.training.orbax_io import (
+                _checkpointer,
+            )
+
+            _checkpointer().wait_until_finished()  # never prune in-flight
+            epochs = sorted(
+                int(d) for d in os.listdir(self.directory) if d.isdigit()
+            )
+            prunable = [
+                e for e in epochs if e != self.best_epoch
+            ][: max(0, len(epochs) - self.keep)]
+            for e in prunable:
+                shutil.rmtree(os.path.join(self.directory, str(e)),
+                              ignore_errors=True)
+
+
+def construct_orbax_callbacks(H, save_path, *, checkpoint_monitor="val_acc",
+                              keep_epoch_ckpts=None, primary=True):
+    """Default callback set with the orbax checkpoint backend. History
+    callbacks only on the primary process (single writer); the orbax save
+    itself must run on every process (collective)."""
+    callbacks = []
+    if primary:
+        callbacks += [
+            LambdaCallback(on_epoch_end=partial(_append_to_history_csv, H=H)),
+            LambdaCallback(
+                on_epoch_end=partial(_save_history_csv, save_path=save_path,
+                                     H=H)
+            ),
+        ]
+    callbacks.append(
+        OrbaxEpochCheckpoint(
+            os.path.join(save_path, "orbax"), monitor=checkpoint_monitor,
+            keep=keep_epoch_ckpts, write_meta=primary,
+        )
+    )
+    return callbacks
+
+
 def load_history(save_path: str) -> dict:
     """Replay history.csv into the H dict for --resume
     (reference ``train.py:274-278``)."""

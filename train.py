@@ -104,6 +104,15 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="retain only the newest N model_epoch_*.pt "
                              "(best/last never pruned; default: keep all, "
                              "reference parity)")
+    parser.add_argument("--ckpt_backend", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="msgpack = reference-named single files "
+                             "(model_*.pt); orbax = sharding-aware "
+                             "directory saves under save_path/orbax — "
+                             "required for TP-sharded multi-host "
+                             "checkpointing, restores directly onto the "
+                             "mesh. Recovery is epoch-granular (no "
+                             "model_midtrain.pt)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret",
                                  "pallas_sharded", "pallas_interpret_sharded"])
@@ -348,10 +357,39 @@ def main():
     os.makedirs(args.save_path, exist_ok=True)
     history_csv_path = os.path.join(args.save_path, "history.csv")
 
-    midtrain_path = os.path.join(args.save_path, "model_midtrain.pt")
+    use_orbax = args.ckpt_backend == "orbax"
+    orbax_dir = os.path.join(args.save_path, "orbax")
+    midtrain_path = (
+        None if use_orbax else os.path.join(args.save_path, "model_midtrain.pt")
+    )
     state = setup.state
     resume_mid = None
-    if args.resume and not (
+    if use_orbax:
+        # restore happens AFTER the mesh/shard_state block below so arrays
+        # land directly on their target shardings (no host gather)
+        from multimodal_uncertainty_tpu.training.orbax_io import latest_step
+
+        last = latest_step(orbax_dir)
+        if args.resume and last is None:
+            logger.warning("--resume: no orbax checkpoint in %s; starting "
+                           "fresh", orbax_dir)
+            args.resume = False
+        if args.resume:
+            H = load_history(args.save_path) if os.path.exists(
+                history_csv_path
+            ) else {"epoch": []}
+            # replay only up to the restored step: if an async save was
+            # lost (crash between history write and checkpoint finalize),
+            # history has one more row than the checkpoint and the epoch
+            # re-runs — trim so it isn't double-logged
+            H = {k: list(v)[:last] for k, v in H.items()}
+            epoch_start = last + 1
+        else:
+            H = {}
+            if os.path.exists(history_csv_path):
+                os.remove(history_csv_path)
+            epoch_start = 1
+    elif args.resume and not (
         os.path.exists(midtrain_path)
         or os.path.exists(os.path.join(args.save_path, "model_last_epoch.pt"))
     ):
@@ -361,7 +399,7 @@ def main():
         logger.warning("--resume: no checkpoint in %s; starting fresh",
                        args.save_path)
         args.resume = False
-    if args.resume:
+    if not use_orbax and args.resume:
         H = load_history(args.save_path) if os.path.exists(history_csv_path) else {"epoch": []}
         epoch_start = len(H["epoch"]) + 1
         if os.path.exists(midtrain_path):
@@ -387,7 +425,7 @@ def main():
                 state, os.path.join(args.save_path, "model_last_epoch.pt"),
                 scheduler=setup.plateau,
             )
-    else:
+    elif not use_orbax:
         H = {}
         if os.path.exists(history_csv_path):
             logger.info("Removing %s", history_csv_path)
@@ -418,14 +456,43 @@ def main():
         logger.info("mesh: %s", dict(mesh.shape))
 
     primary = jax.process_index() == 0
-    callbacks = (
-        construct_default_callbacks(
-            H, args.save_path, checkpoint_monitor="val_acc",
-            keep_epoch_ckpts=args.keep_epoch_ckpts,
+    if use_orbax and args.resume:
+        # now that the state sits on its final shardings, restore in place
+        from multimodal_uncertainty_tpu.training.orbax_io import (
+            restore_train_state,
         )
-        if primary  # one writer: checkpoints/history only on process 0
-        else []
-    )
+
+        if setup.plateau is not None:
+            state, extra = restore_train_state(
+                state, orbax_dir, extra_template=setup.plateau.state_dict()
+            )
+            setup.plateau.load_state_dict(
+                {k: type(getattr(setup.plateau, k))(v)
+                 for k, v in extra.items()}
+            )
+        else:
+            state = restore_train_state(state, orbax_dir)
+
+    if use_orbax:
+        from multimodal_uncertainty_tpu.training.loop import (
+            construct_orbax_callbacks,
+        )
+
+        # orbax saves are collective: the checkpoint callback runs on
+        # EVERY process; history/best.json keep a single writer
+        callbacks = construct_orbax_callbacks(
+            H, args.save_path, checkpoint_monitor="val_acc",
+            keep_epoch_ckpts=args.keep_epoch_ckpts, primary=primary,
+        )
+    else:
+        callbacks = (
+            construct_default_callbacks(
+                H, args.save_path, checkpoint_monitor="val_acc",
+                keep_epoch_ckpts=args.keep_epoch_ckpts,
+            )
+            if primary  # one writer: checkpoints/history only on process 0
+            else []
+        )
     for clbk in callbacks:
         clbk.set_save_path(args.save_path)
 
