@@ -51,6 +51,41 @@ def fusion_request(payload: dict):
     return img, txt
 
 
+def mmbt_request(payload: dict):
+    """Decode an MMBTPredictor sample: {"token_ids": (L,), "segment": (L,),
+    "image": (H, W, 3) float pixels} → the mmbt_micro_batcher tuple."""
+    ids = np.asarray(payload["token_ids"], np.int64)
+    segment = np.asarray(payload["segment"], np.int64)
+    image = np.asarray(payload["image"], np.float32)
+    if ids.ndim != 1 or segment.shape != ids.shape:
+        raise ValueError(
+            f"token_ids/segment must be matching rank-1; got "
+            f"{ids.shape} / {segment.shape}"
+        )
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError(f"image must be (H, W, 3); got {image.shape}")
+    return ids, segment, image
+
+
+def vilt_request(payload: dict):
+    """Decode a ViltPredictor sample: the per-sample processor dict
+    (input_ids/attention_mask/token_type_ids length-L lists,
+    pixel_values (H, W, 3), optional pixel_mask (H, W))."""
+    if "input_ids" not in payload or "pixel_values" not in payload:
+        raise ValueError("vilt sample needs input_ids and pixel_values")
+    sample = {"input_ids": np.asarray(payload["input_ids"], np.int64)}
+    for k in ("attention_mask", "token_type_ids"):
+        if k in payload:
+            sample[k] = np.asarray(payload[k], np.int64)
+    pix = np.asarray(payload["pixel_values"], np.float32)
+    if pix.ndim != 3 or pix.shape[-1] != 3:
+        raise ValueError(f"pixel_values must be (H, W, 3); got {pix.shape}")
+    sample["pixel_values"] = pix
+    if "pixel_mask" in payload:
+        sample["pixel_mask"] = np.asarray(payload["pixel_mask"], np.int64)
+    return sample
+
+
 class PredictionServer:
     """Serve one micro-batched predictor over HTTP.
 
@@ -68,9 +103,11 @@ class PredictionServer:
         host: str = "127.0.0.1",
         port: int = 0,
         encode_result: Optional[Callable] = None,
+        max_body_bytes: int = 256 << 20,
     ):
         self.batcher = batcher
         self.decode_request = decode_request
+        self.max_body_bytes = max_body_bytes
         self.encode_result = encode_result or (
             lambda r: {"probs": np.asarray(r).tolist()}
         )
@@ -121,6 +158,13 @@ class PredictionServer:
                 t0 = time.perf_counter()
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > outer.max_body_bytes:
+                        outer._count(t0, error=True)
+                        self._reply(413, {
+                            "error": f"body {length} bytes exceeds limit "
+                                     f"{outer.max_body_bytes}"
+                        })
+                        return
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     sample = outer.decode_request(payload)
                 except (ValueError, KeyError, TypeError) as e:

@@ -69,19 +69,24 @@ def main():
 
     from multimodal_uncertainty_tpu.training.callbacks import LambdaCallback
 
-    cb = LambdaCallback(
-        on_epoch_end=lambda epoch, logs: H.setdefault("loss", []).append(
-            logs["loss"]
-        )
-    )
-    trainer.train_loop(train, steps_per_epoch=len(train), epochs=2,
-                       callbacks=[cb], patience=10)
+    def keep(epoch, logs):
+        H.setdefault("loss", []).append(logs["loss"])
+        H.setdefault("val_ece", []).append(logs["val_ece"])
+
+    cb = LambdaCallback(on_epoch_end=keep)
+    # ece=True drives the keep_preds path: data-sharded eval outputs are
+    # allgathered (parallel/multihost.gather_to_host) before the host-side
+    # calibration metric — the multi-host metric plumbing under test
+    trainer.train_loop(train, valid_generator=train,
+                       steps_per_epoch=len(train), validation_steps=len(train),
+                       epochs=2, callbacks=[cb], patience=10, ece=True)
 
     if is_primary():
         leaves = jax.tree_util.tree_leaves(trainer.state.params)
         np.savez(
             os.path.join(out_dir, f"result_np{num_procs}.npz"),
             losses=np.asarray(H["loss"], np.float64),
+            val_ece=np.asarray(H["val_ece"], np.float64),
             **{f"p{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)},
         )
     print(f"worker {pid}/{num_procs} done", flush=True)

@@ -168,3 +168,45 @@ def test_end_to_end_fusion_predictor(tmp_path):
     finally:
         srv.close()
         mb.close()
+
+
+def test_mmbt_and_vilt_request_decoders():
+    from multimodal_uncertainty_tpu.server import mmbt_request, vilt_request
+
+    ids, seg, img = mmbt_request({
+        "token_ids": [1, 2, 3], "segment": [1, 1, 1],
+        "image": np.zeros((8, 8, 3)).tolist(),
+    })
+    assert ids.shape == (3,) and seg.dtype == np.int64
+    assert img.shape == (8, 8, 3) and img.dtype == np.float32
+    with pytest.raises(ValueError):
+        mmbt_request({"token_ids": [1], "segment": [1, 1],
+                      "image": np.zeros((8, 8, 3)).tolist()})
+    with pytest.raises(ValueError):
+        mmbt_request({"token_ids": [1], "segment": [1],
+                      "image": np.zeros((8, 8)).tolist()})
+
+    s = vilt_request({
+        "input_ids": [101, 5, 102], "attention_mask": [1, 1, 1],
+        "pixel_values": np.zeros((4, 4, 3)).tolist(),
+        "pixel_mask": np.ones((4, 4)).tolist(),
+    })
+    assert s["input_ids"].shape == (3,)
+    assert s["pixel_values"].shape == (4, 4, 3)
+    assert s["pixel_mask"].dtype == np.int64
+    assert "token_type_ids" not in s  # optional keys only when provided
+    with pytest.raises(ValueError):
+        vilt_request({"input_ids": [1]})  # no pixels
+
+
+def test_body_size_limit():
+    srv = PredictionServer(
+        lambda s: s, fusion_request, max_body_bytes=1024
+    ).start()
+    try:
+        big = {"img": [[0.0] * 300] * 10, "txt": [[0.0]]}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/predict", big)
+        assert e.value.code == 413
+    finally:
+        srv.close()
