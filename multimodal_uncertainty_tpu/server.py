@@ -86,6 +86,17 @@ def vilt_request(payload: dict):
     return sample
 
 
+def uncertainty_result(result):
+    """encode_result for uncertainty-mode batchers: the per-sample result is
+    ``(probs, diag)`` (see ``serving.fusion_micro_batcher(uncertainty=True)``)
+    — responds with probs plus the modality-sensitivity diagnostics."""
+    probs, diag = result
+    return {
+        "probs": np.asarray(probs).tolist(),
+        **{k: float(v) for k, v in diag.items()},
+    }
+
+
 class PredictionServer:
     """Serve one micro-batched predictor over HTTP.
 

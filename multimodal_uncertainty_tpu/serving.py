@@ -428,13 +428,17 @@ class MicroBatcher:
 
 
 def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
-                         max_wait_ms: float = 5.0) -> MicroBatcher:
+                         max_wait_ms: float = 5.0,
+                         uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over a FusionPredictor for variable-length samples.
 
     Each sample is ``(img, txt)`` with shapes (L_i, D)/(L_t, D); the batch
     call pads to the max length in the coalesced batch (the predictor's
     pad_multiple bounds compile count) and passes true lengths so padding
-    is masked."""
+    is masked. With ``uncertainty=True`` each result is
+    ``(probs, {confidence, image_sensitivity, text_sensitivity})`` —
+    the modality-ablation diagnostics served per sample (three masked
+    forwards per coalesced batch, not per caller)."""
 
     def predict_batch(samples):
         n = len(samples)
@@ -450,6 +454,14 @@ def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
             img[i, : im.shape[0]] = im
             txt[i, : tx.shape[0]] = tx
             il[i], tl[i] = im.shape[0], tx.shape[0]
+        if uncertainty:
+            probs, diag = predictor.predict_with_uncertainty(
+                img, txt, img_lengths=il, txt_lengths=tl
+            )
+            return [
+                (probs[i], {k: v[i] for k, v in diag.items()})
+                for i in range(n)
+            ]
         probs = predictor.predict(img, txt, img_lengths=il, txt_lengths=tl)
         return list(probs)
 

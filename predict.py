@@ -88,13 +88,18 @@ def main():
         from multimodal_uncertainty_tpu.server import (
             PredictionServer,
             fusion_request,
+            uncertainty_result,
         )
 
         mb = fusion_micro_batcher(
             predictor, max_batch=args.serve_max_batch,
             max_wait_ms=args.serve_max_wait_ms,
+            uncertainty=args.uncertainty,
         )
-        srv = PredictionServer(mb, fusion_request, port=args.serve).start()
+        srv = PredictionServer(
+            mb, fusion_request, port=args.serve,
+            encode_result=uncertainty_result if args.uncertainty else None,
+        ).start()
         print(f"serving on http://{srv.host}:{srv.port} "
               f"(POST /v1/predict, GET /healthz, /statz); Ctrl-C to stop",
               flush=True)

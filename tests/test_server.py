@@ -210,3 +210,57 @@ def test_body_size_limit():
         assert e.value.code == 413
     finally:
         srv.close()
+
+
+def test_uncertainty_over_http(tmp_path):
+    """--serve --uncertainty: per-sample modality-sensitivity diagnostics
+    ride the HTTP response and match the direct predictor call."""
+    import jax
+
+    from multimodal_uncertainty_tpu.models import FlavaFusionTransformer
+    from multimodal_uncertainty_tpu.serving import (
+        FusionPredictor,
+        fusion_micro_batcher,
+    )
+    from multimodal_uncertainty_tpu.server import uncertainty_result
+    from multimodal_uncertainty_tpu.training.checkpoint import save_weights
+
+    D = 32
+    model = FlavaFusionTransformer(
+        out_dim=2, num_classes=3, image_hidden_size=D, text_hidden_size=D,
+        multimodal_hidden_size=D, multimodal_num_attention_heads=2,
+        multimodal_num_hidden_layers=1, attn_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(0)}, (img, txt), train=False
+    )
+    ckpt = str(tmp_path / "model_best_val.pt")
+    save_weights(variables, None, ckpt)
+    pred = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,),
+    )
+    mb = fusion_micro_batcher(pred, max_batch=4, max_wait_ms=5,
+                              uncertainty=True)
+    srv = PredictionServer(mb, fusion_request,
+                           encode_result=uncertainty_result).start()
+    try:
+        s_img = rng.normal(size=(5, D)).astype(np.float32)
+        s_txt = rng.normal(size=(4, D)).astype(np.float32)
+        _, out = _post(
+            srv.port, "/v1/predict",
+            {"img": s_img.tolist(), "txt": s_txt.tolist()},
+        )
+        probs, diag = pred.predict_with_uncertainty(
+            s_img[None], s_txt[None]
+        )
+        np.testing.assert_allclose(out["probs"], probs[0], atol=1e-5)
+        for k in ("confidence", "image_sensitivity", "text_sensitivity"):
+            assert k in out
+            np.testing.assert_allclose(out[k], float(diag[k][0]), atol=1e-5)
+    finally:
+        srv.close()
+        mb.close()
