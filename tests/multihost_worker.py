@@ -5,7 +5,12 @@ either as ONE process owning all 8 devices or as one of TWO processes
 owning 4 each (jax.distributed over a localhost coordinator). Saves final
 params + per-epoch losses so the test can compare the two topologies.
 
-Usage: python multihost_worker.py OUTDIR NUM_PROCESSES PROCESS_ID PORT
+Usage: python multihost_worker.py OUTDIR NUM_PROCESSES PROCESS_ID PORT [MP]
+
+MP (default 1) sets the 'model' mesh axis: MP=2 runs DPxTP with
+megatron-sharded transformer weights — laid out so each TP pair is
+process-local (rows of the device grid), the realistic pod layout where
+TP rides intra-host ICI.
 """
 import os
 import sys
@@ -15,6 +20,7 @@ def main():
     out_dir, num_procs, pid, port = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
     )
+    mp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     n_local = 8 // num_procs
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -49,12 +55,15 @@ def main():
     train, _, _ = get_fmnist(
         batch_size=32, synthetic=True, synthetic_n=128, seed=7
     )
+    # mp>1: the MIMO transformer, whose CLIP-stack weights the megatron TP
+    # rules shard; mp=1: the MIMO ResNet (pure DP)
     setup = setup_fashionmnist(
-        model_type="MultiHead", lr=0.05, total_steps=len(train) * 2,
+        model_type="MultiHead", transformer=mp > 1, lr=0.05,
+        total_steps=len(train) * 2,
         seed_key=jax.random.key(1), attn_impl="xla",
     )
-    mesh = make_mesh(8, model_parallel=1)
-    state = shard_state(setup.state, mesh)
+    mesh = make_mesh(8, model_parallel=mp)
+    state = shard_state(setup.state, mesh, tp=mp > 1)
 
     trainer = Trainer(
         setup.bundle,
@@ -82,12 +91,22 @@ def main():
                        epochs=2, callbacks=[cb], patience=10, ece=True)
 
     if is_primary():
-        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        from multimodal_uncertainty_tpu.parallel.multihost import (
+            gather_to_host,
+        )
+
+        # TP-sharded params are not fully addressable on one process;
+        # gather for the cross-topology comparison (test-only — real
+        # checkpointing of this state goes through orbax)
+        leaves = [
+            np.asarray(jax.device_get(gather_to_host(l)))
+            for l in jax.tree_util.tree_leaves(trainer.state.params)
+        ]
         np.savez(
-            os.path.join(out_dir, f"result_np{num_procs}.npz"),
+            os.path.join(out_dir, f"result_np{num_procs}_mp{mp}.npz"),
             losses=np.asarray(H["loss"], np.float64),
             val_ece=np.asarray(H["val_ece"], np.float64),
-            **{f"p{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)},
+            **{f"p{i}": l for i, l in enumerate(leaves)},
         )
     print(f"worker {pid}/{num_procs} done", flush=True)
 

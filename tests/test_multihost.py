@@ -29,7 +29,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run(out_dir, num_procs, port, timeout=600):
+def _run(out_dir, num_procs, port, timeout=600, mp=1):
     env = {
         **os.environ,
         "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
@@ -38,7 +38,8 @@ def _run(out_dir, num_procs, port, timeout=600):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, out_dir, str(num_procs), str(pid), str(port)],
+            [sys.executable, _WORKER, out_dir, str(num_procs), str(pid),
+             str(port), str(mp)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(num_procs)
@@ -58,8 +59,8 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     _run(str(tmp_path), 1, port)
     _run(str(tmp_path), 2, _free_port())
 
-    single = np.load(tmp_path / "result_np1.npz")
-    multi = np.load(tmp_path / "result_np2.npz")
+    single = np.load(tmp_path / "result_np1_mp1.npz")
+    multi = np.load(tmp_path / "result_np2_mp1.npz")
     # Tolerances are staged: cross-process allreduce sums in a different
     # order than the in-process one (measured ~1.5e-6 relative on the
     # epoch-1 loss), and SGD amplifies that float noise step over step
@@ -91,5 +92,28 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         # absolute band: weight scales here are O(0.1-1) and the measured
         # drift tops out at ~2.6e-3 (noise through BatchNorm+SGD); a wrong
         # batch split or a missing collective lands at O(0.1-1)
+        np.testing.assert_allclose(single[k], multi[k], rtol=0, atol=8e-3,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_dp_tp_mesh_matches_single_process(tmp_path):
+    """DP x TP across the process boundary: megatron-sharded MIMO
+    transformer weights on a (4, 2) mesh laid out so each TP pair is
+    process-local (the realistic pod layout), batch sharded over 'data'
+    spanning both processes. Same drift bands as the DP test."""
+    _run(str(tmp_path), 1, _free_port(), mp=2)
+    _run(str(tmp_path), 2, _free_port(), mp=2)
+
+    single = np.load(tmp_path / "result_np1_mp2.npz")
+    multi = np.load(tmp_path / "result_np2_mp2.npz")
+    np.testing.assert_allclose(
+        single["losses"][0], multi["losses"][0], rtol=1e-5,
+        err_msg="first-epoch loss diverged: the DPxTP programs differ",
+    )
+    np.testing.assert_allclose(single["losses"], multi["losses"], rtol=5e-3)
+    keys = sorted(k for k in single.files if k.startswith("p"))
+    assert keys == sorted(k for k in multi.files if k.startswith("p"))
+    for k in keys:
         np.testing.assert_allclose(single[k], multi[k], rtol=0, atol=8e-3,
                                    err_msg=k)
