@@ -17,6 +17,105 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _serve_forever(srv, mb):
+    print(f"serving on http://{srv.host}:{srv.port} "
+          f"(POST /v1/predict, GET /healthz, /statz); Ctrl-C to stop",
+          flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+        mb.close()
+
+
+def _serve_family(args, n_classes):
+    """Bring up an MMBT or ViLT checkpoint as an HTTP endpoint (the fusion
+    family serves through the main flow below). The template config must
+    match the checkpoint (same flags as the train.py run)."""
+    import dataclasses as dc
+
+    import jax
+
+    from multimodal_uncertainty_tpu import zoo
+    from multimodal_uncertainty_tpu.server import (
+        PredictionServer,
+        mmbt_request,
+        vilt_request,
+    )
+
+    if args.framework == "mmbt":
+        from multimodal_uncertainty_tpu.models.bert import BertConfig
+        from multimodal_uncertainty_tpu.serving import (
+            MMBTPredictor,
+            mmbt_micro_batcher,
+        )
+
+        if args.tiny:
+            bert_cfg = dc.replace(
+                BertConfig.base(), hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=128,
+            )
+            resnet_layers = (1, 1, 1, 1)
+        else:
+            bert_cfg = (
+                BertConfig.large()
+                if args.bert_model == "bert-large-uncased"
+                else BertConfig.base()
+            )
+            resnet_layers = (3, 8, 36, 3)
+        setup = zoo.setup_mmbt(
+            n_classes=n_classes, bert_config=bert_cfg,
+            resnet_layers=resnet_layers,
+            num_image_embeds=args.num_image_embeds,
+            vocab_size=args.vocab_size, gradient_accumulation_steps=1,
+            seed_key=jax.random.key(0),
+        )
+        variables = {"params": setup.state.params}
+        if setup.state.batch_stats is not None:
+            variables["batch_stats"] = setup.state.batch_stats
+        pred = MMBTPredictor(
+            setup.model, args.checkpoint_path, template_variables=variables,
+            batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
+        )
+        mb = mmbt_micro_batcher(pred, max_batch=args.serve_max_batch,
+                                max_wait_ms=args.serve_max_wait_ms)
+        decode = mmbt_request
+    else:  # vilt
+        from multimodal_uncertainty_tpu.serving import (
+            ViltPredictor,
+            vilt_micro_batcher,
+        )
+
+        vilt_cfg = None
+        if args.tiny:
+            from multimodal_uncertainty_tpu.models.vilt import ViltConfig
+
+            vilt_cfg = dc.replace(
+                ViltConfig.b32(), hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=128,
+                num_labels=n_classes, image_size=384,
+            )
+        setup = zoo.setup_vilt(
+            n_classes=n_classes, vilt_config=vilt_cfg,
+            gradient_accumulation_steps=1, seed_key=jax.random.key(0),
+        )
+        pred = ViltPredictor(
+            setup.model, args.checkpoint_path,
+            template_variables={"params": setup.state.params},
+            batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
+        )
+        mb = vilt_micro_batcher(pred, max_batch=args.serve_max_batch,
+                                max_wait_ms=args.serve_max_wait_ms)
+        decode = vilt_request
+
+    srv = PredictionServer(mb, decode, port=args.serve).start()
+    _serve_forever(srv, mb)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint_path", required=True)
@@ -41,11 +140,29 @@ def main():
                              "BASELINE.md)")
     parser.add_argument("--serve", type=int, default=None, metavar="PORT",
                         help="instead of batch CSV prediction, serve the "
-                             "model over HTTP (POST /v1/predict with "
-                             '{"img": [[...]], "txt": [[...]]}; dynamic '
-                             "micro-batching; 0 = ephemeral port)")
+                             "model over HTTP (POST /v1/predict; dynamic "
+                             "micro-batching; 0 = ephemeral port). Payload "
+                             "schema per --framework: flava {img, txt} "
+                             "embedding lists; mmbt {token_ids, segment, "
+                             "image}; vilt processor dicts")
     parser.add_argument("--serve_max_batch", type=int, default=32)
     parser.add_argument("--serve_max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--framework", default="flava",
+                        choices=["flava", "mmbt", "vilt"],
+                        help="model family (mmbt/vilt: --serve mode only; "
+                             "batch CSV prediction is the flava/packed-"
+                             "shard flow)")
+    # mmbt/vilt serving template config (must match the checkpoint)
+    parser.add_argument("--bert_model", default="bert-base-uncased",
+                        choices=["bert-base-uncased", "bert-large-uncased"])
+    parser.add_argument("--vocab_size", type=int, default=30522)
+    parser.add_argument("--num_image_embeds", type=int, default=3)
+    parser.add_argument("--tiny", action="store_true",
+                        help="shrunken mmbt/vilt template (smoke tests; "
+                             "must match a --tiny-trained checkpoint)")
+    parser.add_argument("--n_classes", type=int, default=None,
+                        help="override the dataset-derived class count "
+                             "(serve a checkpoint without $DATA_DIR)")
     args = parser.parse_args()
 
     import jax
@@ -59,12 +176,28 @@ def main():
     from multimodal_uncertainty_tpu.serving import FusionPredictor
     from multimodal_uncertainty_tpu.zoo import setup_flava
 
-    datapath = os.path.join(os.environ["DATA_DIR"], args.dataset)
-    if args.dataset == "food101":
+    datapath = os.path.join(os.environ.get("DATA_DIR", ""), args.dataset)
+    if args.n_classes is not None:
+        n_classes = args.n_classes
+    elif args.dataset == "food101":
         labels, _ = get_labels_and_frequencies(os.path.join(datapath, "train.jsonl"))
         n_classes = len(labels)
     else:
         n_classes = 2
+
+    if args.framework != "flava":
+        if args.serve is None:
+            raise SystemExit(
+                "--framework mmbt/vilt supports --serve mode only (batch "
+                "CSV prediction is the flava packed-shard flow)"
+            )
+        if args.uncertainty:
+            raise SystemExit(
+                "--uncertainty responses are implemented for the flava "
+                "family (modality ablation over embedding masks)"
+            )
+        _serve_family(args, n_classes)
+        return
 
     setup = setup_flava(
         model_type=args.model_type,
@@ -100,18 +233,7 @@ def main():
             mb, fusion_request, port=args.serve,
             encode_result=uncertainty_result if args.uncertainty else None,
         ).start()
-        print(f"serving on http://{srv.host}:{srv.port} "
-              f"(POST /v1/predict, GET /healthz, /statz); Ctrl-C to stop",
-              flush=True)
-        try:
-            import threading
-
-            threading.Event().wait()
-        except KeyboardInterrupt:
-            pass
-        finally:
-            srv.close()
-            mb.close()
+        _serve_forever(srv, mb)
         return
 
     ds = PackedFlavaDataset(os.path.join(datapath, "flava_packed"), args.phase)
