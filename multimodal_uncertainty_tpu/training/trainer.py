@@ -405,6 +405,27 @@ class Trainer:
                 jax.device_get(losses[-1])
                 jax.profiler.stop_trace()
 
+            if preemption is not None and preemption.triggered:
+                # signal landed on the epoch's LAST batch (the in-loop check
+                # excludes it) or during eval would be next: save with the
+                # train phase complete (next_batch == n_steps) — resume
+                # re-enters this epoch with zero train batches left and
+                # runs just the evals + epoch-end callbacks
+                if midtrain_path is not None:
+                    _save_midtrain(n_steps)
+                from multimodal_uncertainty_tpu.training.checkpoint import (
+                    flush_pending_writes,
+                )
+
+                flush_pending_writes()
+                self.preempted = True
+                print(
+                    f"Preempted at epoch {epoch} end-of-train: state saved"
+                    f"{f' to {midtrain_path}' if midtrain_path else ''}; "
+                    f"resume to run the epoch's evals"
+                )
+                return self.state
+
             loss_sum, metric_sums, size_sum = _epoch_sums()
             denom = size_sum if size_sum else 1.0
             train_dict = {"loss": loss_sum / denom}

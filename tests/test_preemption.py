@@ -351,3 +351,62 @@ def test_midepoch_preempt_resume_exact_with_accumulation(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     assert int(tr_a.state.step) == int(tr_c.state.step)
+
+
+def test_preempt_at_last_batch_resumes_through_evals(tmp_path):
+    """Signal on the epoch's final batch: the in-loop check skips it (the
+    epoch's train phase is complete), so the post-train check saves with
+    next_batch == n_steps and resume runs just the evals + epoch-end
+    callbacks — still bit-identical to the uninterrupted run."""
+    dir_a = tmp_path / "a"
+    dir_b = tmp_path / "b"
+    os.makedirs(dir_a)
+    os.makedirs(dir_b)
+
+    HA = {}
+    tr_a, setup_a, train, valid, cbs = _fmnist_trainer(dir_a, HA)
+    tr_a.train_loop(train, **_loop_kwargs(train, valid, cbs, setup_a))
+
+    HB = {}
+    guard = PreemptionGuard()
+    tr_b, setup_b, train_b, valid_b, cbs_b = _fmnist_trainer(dir_b, HB)
+    n_batches = len(train_b)
+    cbs_b = list(cbs_b) + [_TriggerAt(guard, epoch=2, batch=n_batches)]
+    mid_path = os.path.join(dir_b, "model_midtrain.pt")
+    tr_b.train_loop(
+        train_b,
+        **_loop_kwargs(train_b, valid_b, cbs_b, setup_b,
+                       preemption=guard, midtrain_path=mid_path),
+    )
+    assert tr_b.preempted
+    # epoch 2's history row was NOT written (eval never ran)
+    assert len(load_history(str(dir_b))["epoch"]) == 1
+
+    HB2 = load_history(str(dir_b))
+    tr_b2, setup_b2, train_b2, valid_b2, cbs_b2 = _fmnist_trainer(dir_b, HB2)
+    state, mid = resume_midtrain_state(
+        setup_b2.state, mid_path, scheduler=setup_b2.plateau
+    )
+    assert int(mid["next_batch"]) == n_batches  # train phase complete
+    tr_b2.state = state
+    tr_b2.train_loop(
+        train_b2,
+        **_loop_kwargs(train_b2, valid_b2, cbs_b2, setup_b2,
+                       epoch_start=2, resume_mid=mid,
+                       midtrain_path=mid_path),
+    )
+
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(tr_a.state.params),
+        jax.tree_util.tree_leaves(tr_b2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    csv_a = pd.read_csv(os.path.join(dir_a, "history.csv"))
+    csv_b = pd.read_csv(os.path.join(dir_b, "history.csv"))
+    assert len(csv_a) == len(csv_b) == 3
+    np.testing.assert_allclose(
+        csv_a["val_acc"].values, csv_b["val_acc"].values, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        csv_a["loss"].values, csv_b["loss"].values, rtol=1e-9
+    )
