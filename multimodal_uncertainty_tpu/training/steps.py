@@ -46,7 +46,12 @@ def build_train_step(
     *,
     gradient_accumulation_steps: int = 1,
     donate: bool = True,
+    state_shardings=None,
 ):
+    """`state_shardings` (a TrainState-shaped tree of NamedShardings, from
+    `parallel.sharding.state_sharding_tree`) pins the UPDATED state to the
+    given placement — required for FSDP, where the sharded param layout must
+    be a fixed point of the step rather than a GSPMD propagation choice."""
     accum = gradient_accumulation_steps
 
     def step(state: TrainState, x, y, key, flags=None):
@@ -162,6 +167,10 @@ def build_train_step(
             step=state.step + 1,
             accum_grads=new_accum,
         )
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings
+            )
         return new_state, {"loss": loss_reported, **metrics}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -84,6 +84,7 @@ class Trainer:
         verbose: bool = True,
         put_batch_fn: Optional[Callable] = None,
         device_prefetch: bool = False,
+        state_shardings=None,
     ):
         self.bundle = bundle
         self.optimizer = optimizer
@@ -96,7 +97,9 @@ class Trainer:
         self.put_batch = put_batch_fn or _device_batch
         self.device_prefetch = device_prefetch
         self._train_step = build_train_step(
-            bundle, optimizer, gradient_accumulation_steps=gradient_accumulation_steps
+            bundle, optimizer,
+            gradient_accumulation_steps=gradient_accumulation_steps,
+            state_shardings=state_shardings,
         )
         self._eval_step = build_eval_step(bundle)
 

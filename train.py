@@ -143,6 +143,11 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="devices on the 'data' mesh axis")
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="devices on the 'model' (tensor-parallel) axis")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="FSDP/ZeRO-3: shard params + optimizer moments "
+                             "over the 'data' axis (weights all-gather at "
+                             "use, grads reduce-scatter); composes with "
+                             "--model_parallel")
     # multi-HOST (one process per host; parallel/multihost.py). On TPU pods
     # all three are discovered from the environment — pass --num_processes 0
     # to trigger auto-init; on CPU fleets pass them explicitly.
@@ -433,16 +438,28 @@ def main():
         epoch_start = 1
 
     put_batch = None
+    state_shardings = None
     n_mesh = args.data_parallel * args.model_parallel
+    if args.fsdp and n_mesh <= 1:
+        logger.warning("--fsdp needs a multi-device mesh "
+                       "(--data_parallel/--model_parallel); ignoring")
     if n_mesh > 1:
         from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
         from multimodal_uncertainty_tpu.parallel.sharding import (
             put_batch_fn,
             shard_state,
+            state_sharding_tree,
         )
 
         mesh = make_mesh(n_mesh, model_parallel=args.model_parallel)
-        state = shard_state(state, mesh, tp=args.model_parallel > 1)
+        state = shard_state(
+            state, mesh, tp=args.model_parallel > 1, fsdp=args.fsdp
+        )
+        if args.fsdp:
+            # pin the updated state to the FSDP layout inside the step
+            state_shardings = state_sharding_tree(
+                state, mesh, tp=args.model_parallel > 1, fsdp=True
+            )
         if jax.process_count() > 1:
             # per-process batch construction: every host feeds its own
             # contiguous row-block of the global batch
@@ -510,6 +527,7 @@ def main():
         verbose=primary,
         put_batch_fn=put_batch,
         device_prefetch=args.device_prefetch,
+        state_shardings=state_shardings,
     )
     trainer.train_loop(
         train,
