@@ -1,0 +1,218 @@
+"""AOT-exported serving artifacts (``jax.export``).
+
+The reference deploys nothing (research scripts only; SURVEY.md §1 lists no
+serving layer). Production TPU serving wants a **model-code-free** artifact:
+a serialized StableHLO program plus a weights blob that any process with jax
+installed can load and run — no model classes, no flax modules, no framework
+import, stable across refactors of the Python model code. ``jax.export``
+provides exactly this; this module packages it as a directory artifact:
+
+    artifact/
+      fn.stablehlo     serialized Exported (StableHLO + calling convention)
+      weights.msgpack  plain pytree of arrays (msgpack_restore needs no
+                       template -> loading requires NO model classes)
+      meta.json        input signature, platforms, jax version
+
+Two extras beyond a plain ``jax.export.export``:
+
+* **Symbolic batch**: the default exports with a polymorphic leading batch
+  dim (``jax.export.symbolic_shape``), so ONE artifact serves every batch
+  size with no per-size retrace/recompile — the AOT analogue of the
+  predictors' bucket padding. Requires the XLA attention path (the Pallas
+  kernels' grids are specialized on concrete batch blocks); pass
+  ``symbolic_batch=False`` to export a fixed-shape kernel-path program.
+* **Multi-platform**: ``platforms=("cpu", "tpu")`` lowers one artifact that
+  runs on both — export on a CPU build box, serve on TPU.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+_FN_FILE = "fn.stablehlo"
+_WEIGHTS_FILE = "weights.msgpack"
+_META_FILE = "meta.json"
+
+
+def save_exported(
+    path: str,
+    fn,
+    variables,
+    input_specs: Sequence[jax.ShapeDtypeStruct],
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    meta: Optional[dict] = None,
+) -> None:
+    """Export ``fn(variables, *inputs)`` and write the directory artifact.
+
+    ``input_specs`` are ShapeDtypeStructs for the non-variable inputs; shapes
+    may contain symbolic dims (see :func:`symbolic_batch_specs`).
+    """
+    os.makedirs(path, exist_ok=True)
+    var_specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
+        variables,
+    )
+    exported = jax.export.export(
+        jax.jit(fn), platforms=tuple(platforms) if platforms else None
+    )(var_specs, *input_specs)
+    with open(os.path.join(path, _FN_FILE), "wb") as f:
+        f.write(exported.serialize())
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    with open(os.path.join(path, _WEIGHTS_FILE), "wb") as f:
+        f.write(serialization.msgpack_serialize(host_vars))
+    record = {
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "inputs": [
+            {"shape": [str(d) for d in s.shape], "dtype": str(s.dtype)}
+            for s in input_specs
+        ],
+        **(meta or {}),
+    }
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(record, f, indent=2)
+
+
+def symbolic_batch_specs(
+    example_inputs: Sequence[np.ndarray], *, dim: str = "b"
+) -> list:
+    """ShapeDtypeStructs matching the examples with a shared symbolic
+    leading dim — one exported program for every batch size."""
+    (b,) = jax.export.symbolic_shape(dim)
+    return [
+        jax.ShapeDtypeStruct((b,) + np.shape(a)[1:], jnp.asarray(a).dtype)
+        for a in example_inputs
+    ]
+
+
+class ExportedPredictor:
+    """A loaded artifact: ``__call__(*inputs) -> np.ndarray``.
+
+    Loading touches NO model code — just the StableHLO bytes and the plain
+    weights pytree."""
+
+    def __init__(self, exported, variables, meta: dict):
+        self.exported = exported
+        self.variables = variables
+        self.meta = meta
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, *inputs):
+        out = self._call(self.variables, *(jnp.asarray(a) for a in inputs))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+def load_exported(path: str) -> ExportedPredictor:
+    with open(os.path.join(path, _FN_FILE), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    with open(os.path.join(path, _WEIGHTS_FILE), "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    return ExportedPredictor(exported, variables, meta)
+
+
+def fusion_artifact_micro_batcher(
+    loaded: ExportedPredictor, *, max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+):
+    """A :class:`serving.MicroBatcher` over a LOADED fusion artifact —
+    the model-code-free serving path (`predict.py --artifact DIR --serve`).
+
+    Samples are `(img[L_i,D], txt[L_t,D])` pairs as in
+    `fusion_micro_batcher`; they pad to the artifact's baked img_len /
+    txt_len with true-length masks, and the symbolic-batch program runs the
+    coalesced batch at its exact size (no bucket padding needed)."""
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    li = int(loaded.meta["img_len"])
+    lt = int(loaded.meta["txt_len"])
+
+    def predict_batch(samples):
+        n = len(samples)
+        d_img = samples[0][0].shape[-1]
+        d_txt = samples[0][1].shape[-1]  # may differ (text_hidden_size)
+        img = np.zeros((n, li, d_img), np.float32)
+        txt = np.zeros((n, lt, d_txt), np.float32)
+        im = np.zeros((n, li), bool)
+        tm = np.zeros((n, lt), bool)
+        for i, (a, b) in enumerate(samples):
+            if a.shape[0] > li or b.shape[0] > lt:
+                raise ValueError(
+                    f"sample ({a.shape[0]}, {b.shape[0]}) exceeds the "
+                    f"artifact's baked lengths ({li}, {lt})"
+                )
+            img[i, : a.shape[0]] = a
+            txt[i, : b.shape[0]] = b
+            im[i, : a.shape[0]] = True
+            tm[i, : b.shape[0]] = True
+        probs = loaded(img, txt, im, tm)
+        return [probs[i] for i in range(n)]
+
+    return MicroBatcher(
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+
+
+def export_fusion_predictor(
+    predictor,
+    path: str,
+    *,
+    img_len: int,
+    txt_len: int,
+    embed_dim: int = 768,
+    txt_embed_dim: Optional[int] = None,  # defaults to embed_dim
+    symbolic_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Export a :class:`serving.FusionPredictor`'s padded forward
+    ``(img, txt, img_mask, txt_mask) -> ensemble-mean probs`` as an
+    artifact. ``img_len``/``txt_len`` fix the (padded) sequence lengths;
+    callers pad exactly like ``FusionPredictor.predict`` does."""
+    example = [
+        np.zeros((1, img_len, embed_dim), np.float32),
+        np.zeros((1, txt_len, txt_embed_dim or embed_dim), np.float32),
+        np.zeros((1, img_len), bool),
+        np.zeros((1, txt_len), bool),
+    ]
+    if symbolic_batch:
+        specs = symbolic_batch_specs(example)
+    else:
+        specs = [
+            jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+            for a in example
+        ]
+
+    model = predictor.model
+    quantize = predictor.quantize
+
+    def fn(variables, img, txt, img_mask, txt_mask):
+        from multimodal_uncertainty_tpu.serving import _quant_ctx
+
+        with _quant_ctx(quantize):
+            logits = model.apply(
+                variables, (img, txt), train=False,
+                img_mask=img_mask, txt_mask=txt_mask,
+            )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs.mean(axis=1)
+
+    save_exported(
+        path, fn, predictor.variables, specs, platforms=platforms,
+        meta={
+            "family": "flava_fusion",
+            "img_len": img_len,
+            "txt_len": txt_len,
+            "img_dim": embed_dim,
+            "txt_dim": txt_embed_dim or embed_dim,
+            "quantize": quantize,
+            "outputs": "ensemble-mean class probabilities",
+        },
+    )

@@ -118,7 +118,9 @@ def _serve_family(args, n_classes):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--checkpoint_path", default=None,
+                        help="trained checkpoint (required unless serving "
+                             "from an AOT --artifact)")
     parser.add_argument("--dataset", default="hateful-meme-dataset",
                         choices=["food101", "hateful-meme-dataset"])
     parser.add_argument("--phase", default="test")
@@ -163,10 +165,47 @@ def main():
     parser.add_argument("--n_classes", type=int, default=None,
                         help="override the dataset-derived class count "
                              "(serve a checkpoint without $DATA_DIR)")
+    parser.add_argument("--export", default=None, metavar="DIR",
+                        help="write an AOT serving artifact (jax.export: "
+                             "StableHLO + weights, model-code-free load, "
+                             "symbolic batch dim) instead of predicting")
+    parser.add_argument("--export_img_len", type=int, default=224,
+                        help="padded image-token length baked into --export "
+                             "(FLAVA's 197 rounded to the pad multiple)")
+    parser.add_argument("--export_txt_len", type=int, default=96,
+                        help="padded text-token length baked into --export")
+    parser.add_argument("--artifact", default=None, metavar="DIR",
+                        help="serve from an AOT artifact written by "
+                             "--export: loads NO model code (StableHLO + "
+                             "weights only); requires --serve")
     args = parser.parse_args()
 
     import jax
     import numpy as np
+
+    if args.artifact is not None:
+        # model-code-free serving: StableHLO + weights, no flax modules
+        if args.serve is None:
+            raise SystemExit("--artifact requires --serve PORT")
+        from multimodal_uncertainty_tpu.export import (
+            fusion_artifact_micro_batcher,
+            load_exported,
+        )
+        from multimodal_uncertainty_tpu.server import (
+            PredictionServer,
+            fusion_request,
+        )
+
+        loaded = load_exported(args.artifact)
+        mb = fusion_artifact_micro_batcher(
+            loaded, max_batch=args.serve_max_batch,
+            max_wait_ms=args.serve_max_wait_ms,
+        )
+        srv = PredictionServer(mb, fusion_request, port=args.serve).start()
+        _serve_forever(srv, mb)
+        return
+    if args.checkpoint_path is None:
+        parser.error("--checkpoint_path is required (unless --artifact)")
 
     from multimodal_uncertainty_tpu.data.flava_encoded import (
         PackedFlavaDataset,
@@ -207,6 +246,9 @@ def main():
         clstoken=args.clstoken,
         avg_pool=args.avg_pool,
         seed_key=jax.random.key(0),
+        # the exported program's symbolic batch dim needs the XLA attention
+        # path (Pallas grids specialize on concrete batch blocks)
+        **({"attn_impl": "xla"} if args.export is not None else {}),
     )
     predictor = FusionPredictor(
         setup.model,
@@ -215,6 +257,19 @@ def main():
         batch_buckets=(args.batch_size,),
         quantize=args.quantize,
     )
+
+    if args.export is not None:
+        from multimodal_uncertainty_tpu.export import export_fusion_predictor
+
+        export_fusion_predictor(
+            predictor, args.export,
+            img_len=args.export_img_len, txt_len=args.export_txt_len,
+        )
+        print(f"exported AOT artifact to {args.export} "
+              f"(img_len={args.export_img_len}, txt_len={args.export_txt_len},"
+              f" symbolic batch; load via "
+              f"multimodal_uncertainty_tpu.export.load_exported)")
+        return
 
     if args.serve is not None:
         from multimodal_uncertainty_tpu.serving import fusion_micro_batcher

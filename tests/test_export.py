@@ -1,0 +1,187 @@
+"""AOT-exported serving artifacts (jax.export): roundtrip + polymorphism."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_uncertainty_tpu.export import (
+    export_fusion_predictor,
+    load_exported,
+    save_exported,
+    symbolic_batch_specs,
+)
+from multimodal_uncertainty_tpu.models import FlavaFusionTransformer
+from multimodal_uncertainty_tpu.serving import FusionPredictor
+from multimodal_uncertainty_tpu.training.checkpoint import save_weights
+
+D = 32
+
+
+def _make_pred(tmp_path, **kw):
+    model = FlavaFusionTransformer(
+        out_dim=2, num_classes=3, image_hidden_size=D, text_hidden_size=D,
+        multimodal_hidden_size=D, multimodal_num_attention_heads=2,
+        multimodal_num_hidden_layers=1, attn_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(0)}, (img, txt), train=False
+    )
+    ckpt = os.path.join(tmp_path, "model_best_val.pt")
+    save_weights(variables, None, ckpt)
+    return FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16), **kw,
+    )
+
+
+def _padded_inputs(pred, img, txt):
+    """Pad exactly like FusionPredictor.predict (full-length masks)."""
+    n = img.shape[0]
+    li, lt = 8, 8  # pad_multiple=8 over lengths 5/4
+    img_p = np.zeros((n, li, D), np.float32)
+    txt_p = np.zeros((n, lt, D), np.float32)
+    img_p[:, : img.shape[1]] = img
+    txt_p[:, : txt.shape[1]] = txt
+    im = np.zeros((n, li), bool)
+    tm = np.zeros((n, lt), bool)
+    im[:, : img.shape[1]] = True
+    tm[:, : txt.shape[1]] = True
+    return img_p, txt_p, im, tm
+
+
+def test_export_roundtrip_matches_predictor(tmp_path):
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    assert {"fn.stablehlo", "weights.msgpack", "meta.json"} <= set(
+        os.listdir(art)
+    )
+
+    loaded = load_exported(art)
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(3, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(3, 4, D)).astype(np.float32)
+    direct = pred.predict(img, txt)
+    probs = loaded(*_padded_inputs(pred, img, txt))
+    np.testing.assert_allclose(probs, direct, atol=1e-5)
+    assert loaded.meta["family"] == "flava_fusion"
+
+
+def test_symbolic_batch_serves_multiple_sizes(tmp_path):
+    """ONE exported program handles every batch size (no per-size export)."""
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    loaded = load_exported(art)
+    rng = np.random.default_rng(2)
+    for n in (1, 3, 7):
+        img = rng.normal(size=(n, 5, D)).astype(np.float32)
+        txt = rng.normal(size=(n, 4, D)).astype(np.float32)
+        probs = loaded(*_padded_inputs(pred, img, txt))
+        assert probs.shape == (n, 3)
+        np.testing.assert_allclose(
+            probs, pred.predict(img, txt), atol=1e-5
+        )
+
+
+def test_fixed_shape_export(tmp_path):
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact_fixed")
+    export_fusion_predictor(
+        pred, art, img_len=8, txt_len=8, embed_dim=D, symbolic_batch=False
+    )
+    loaded = load_exported(art)
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(1, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(1, 4, D)).astype(np.float32)
+    np.testing.assert_allclose(
+        loaded(*_padded_inputs(pred, img, txt)),
+        pred.predict(img, txt), atol=1e-5,
+    )
+    # fixed-shape program rejects other batch sizes
+    img2 = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt2 = rng.normal(size=(2, 4, D)).astype(np.float32)
+    with pytest.raises(Exception):
+        loaded(*_padded_inputs(pred, img2, txt2))
+
+
+def test_export_quantized_int8(tmp_path):
+    """Trace-time int8 quantization bakes into the exported program."""
+    pred = _make_pred(tmp_path, quantize="int8")
+    art = os.path.join(tmp_path, "artifact_q")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    loaded = load_exported(art)
+    assert loaded.meta["quantize"] == "int8"
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    np.testing.assert_allclose(
+        loaded(*_padded_inputs(pred, img, txt)),
+        pred.predict(img, txt), atol=1e-5,
+    )
+
+
+def test_artifact_serving_over_http(tmp_path):
+    """Model-code-free serving: artifact -> MicroBatcher -> HTTP endpoint,
+    probs == the live predictor."""
+    import json
+    import urllib.request
+
+    from multimodal_uncertainty_tpu.export import (
+        fusion_artifact_micro_batcher,
+    )
+    from multimodal_uncertainty_tpu.server import (
+        PredictionServer,
+        fusion_request,
+    )
+
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    loaded = load_exported(art)
+    mb = fusion_artifact_micro_batcher(loaded, max_batch=8, max_wait_ms=5)
+    srv = PredictionServer(mb, fusion_request).start()
+    try:
+        rng = np.random.default_rng(5)
+        s_img = rng.normal(size=(5, D)).astype(np.float32)
+        s_txt = rng.normal(size=(4, D)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/predict",
+            data=json.dumps(
+                {"img": s_img.tolist(), "txt": s_txt.tolist()}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        direct = pred.predict(s_img[None], s_txt[None])[0]
+        np.testing.assert_allclose(out["probs"], direct, atol=1e-5)
+        # over-length sample is rejected, not silently truncated
+        with pytest.raises(ValueError):
+            mb((np.zeros((9, D), np.float32), s_txt))
+    finally:
+        srv.close()
+        mb.close()
+
+
+def test_save_exported_generic_fn(tmp_path):
+    """The generic helper exports any fn(variables, *inputs)."""
+    variables = {"w": np.eye(4, dtype=np.float32) * 2.0}
+
+    def fn(v, x):
+        return x @ v["w"]
+
+    example = [np.ones((2, 4), np.float32)]
+    art = os.path.join(tmp_path, "gen")
+    save_exported(
+        art, fn, variables, symbolic_batch_specs(example), meta={"k": "v"}
+    )
+    loaded = load_exported(art)
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_allclose(loaded(x), x * 2.0)
+    assert loaded.meta["k"] == "v"
+    assert loaded.meta["jax_version"] == jax.__version__
