@@ -119,6 +119,113 @@ def load_exported(path: str) -> ExportedPredictor:
     return ExportedPredictor(exported, variables, meta)
 
 
+def export_mmbt_predictor(
+    predictor,
+    path: str,
+    *,
+    txt_len: int,
+    image_size: int = 224,
+    symbolic_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Export a :class:`serving.MMBTPredictor`'s full-input forward
+    ``(txt_ids, mask, segment, img) -> probs``. Ablation keep-masks are a
+    live-predictor feature; the artifact serves the full multimodal path."""
+    example = [
+        np.zeros((1, txt_len), np.int32),
+        np.ones((1, txt_len), np.int32),
+        np.ones((1, txt_len), np.int32),
+        np.zeros((1, image_size, image_size, 3), np.float32),
+    ]
+    if symbolic_batch:
+        specs = symbolic_batch_specs(example)
+    else:
+        specs = [
+            jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+            for a in example
+        ]
+    model = predictor.model
+    quantize = predictor.quantize
+
+    def fn(variables, txt, mask, segment, img):
+        from multimodal_uncertainty_tpu.serving import _quant_ctx
+
+        with _quant_ctx(quantize):
+            logits = model.apply(
+                variables, (txt, mask, segment, img), train=False,
+                seq_keep_mask=None,
+            )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    save_exported(
+        path, fn, predictor.variables, specs, platforms=platforms,
+        meta={
+            "family": "mmbt",
+            "txt_len": txt_len,
+            "image_size": image_size,
+            "quantize": quantize,
+            "outputs": "class probabilities",
+        },
+    )
+
+
+def export_vilt_predictor(
+    predictor,
+    path: str,
+    *,
+    txt_len: int,
+    image_size: Optional[int] = None,  # defaults to the model config's
+    pixel_dtype=np.float32,  # processor-normalized floats (uint8 also works)
+    symbolic_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Export a :class:`serving.ViltPredictor`'s forward
+    ``(input_ids, attention_mask, token_type_ids, pixel_values,
+    pixel_mask) -> probs``."""
+    size = image_size or predictor.model.config.image_size
+    example = [
+        np.zeros((1, txt_len), np.int64),
+        np.ones((1, txt_len), np.int64),
+        np.zeros((1, txt_len), np.int64),
+        np.zeros((1, size, size, 3), pixel_dtype),
+        np.ones((1, size, size), np.int64),
+    ]
+    if symbolic_batch:
+        specs = symbolic_batch_specs(example)
+    else:
+        specs = [
+            jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+            for a in example
+        ]
+    model = predictor.model
+    quantize = predictor.quantize
+
+    def fn(variables, ids, am, tt, pv, pm):
+        from multimodal_uncertainty_tpu.serving import _quant_ctx
+
+        batch = {
+            "input_ids": ids,
+            "attention_mask": am,
+            "token_type_ids": tt,
+            "pixel_values": pv,
+            "pixel_mask": pm,
+        }
+        with _quant_ctx(quantize):
+            out = model.apply(variables, batch, train=False)
+        return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+
+    save_exported(
+        path, fn, predictor.variables, specs, platforms=platforms,
+        meta={
+            "family": "vilt",
+            "txt_len": txt_len,
+            "image_size": size,
+            "quantize": quantize,
+            "outputs": "class probabilities",
+        },
+    )
+
+
 def fusion_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
     max_wait_ms: float = 5.0,

@@ -1,0 +1,88 @@
+"""Temperature scaling + reliability diagrams (analysis/calibration.py)."""
+import numpy as np
+
+from multimodal_uncertainty_tpu.analysis.calibration import (
+    apply_temperature,
+    calibration_report,
+    fit_temperature,
+    nll,
+    reliability_curve,
+)
+from multimodal_uncertainty_tpu.ops.metrics import (
+    expected_calibration_error,
+    softmax_np,
+)
+
+
+def _miscalibrated(n=4000, c=5, t_true=3.0, seed=0):
+    """Labels drawn FROM softmax(logits/t_true): logits are overconfident
+    by exactly t_true, so the NLL-optimal temperature is t_true."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, c)) * 2.0
+    probs = softmax_np(base)
+    labels = np.array([rng.choice(c, p=p) for p in probs])
+    return base * t_true, labels
+
+
+def test_fit_recovers_true_temperature():
+    logits, labels = _miscalibrated(t_true=3.0)
+    t = fit_temperature(logits, labels)
+    assert 2.5 < t < 3.5, t
+    # calibration improves on the metrics that matter
+    before = softmax_np(logits)
+    after = apply_temperature(logits, t)
+    assert expected_calibration_error(after, labels) < (
+        expected_calibration_error(before, labels)
+    )
+    assert nll(logits / t, labels) < nll(logits, labels)
+    # argmax (accuracy) unchanged
+    np.testing.assert_array_equal(before.argmax(-1), after.argmax(-1))
+
+
+def test_already_calibrated_keeps_t_near_one():
+    logits, labels = _miscalibrated(t_true=1.0, seed=1)
+    t = fit_temperature(logits, labels)
+    assert 0.8 < t < 1.25, t
+
+
+def test_ensemble_logits_path():
+    rng = np.random.default_rng(2)
+    logits, labels = _miscalibrated(t_true=4.0, seed=2)
+    heads = logits[:, None, :] + rng.normal(size=(logits.shape[0], 3, 1)) * 0.1
+    t = fit_temperature(heads, labels)
+    assert t > 2.0, t
+    probs = apply_temperature(heads, t)
+    assert probs.shape == (logits.shape[0], logits.shape[1])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-9)
+    before = softmax_np(heads / 1.0).mean(axis=1)
+    assert expected_calibration_error(probs, labels) < (
+        expected_calibration_error(before, labels)
+    )
+
+
+def test_reliability_curve_contract():
+    logits, labels = _miscalibrated(seed=3)
+    probs = softmax_np(logits)
+    curve = reliability_curve(probs, labels, n_bins=10)
+    assert curve["count"].sum() == labels.size
+    assert curve["bin_edges"].shape == (11,)
+    valid = curve["count"] > 0
+    # confidences lie inside their bins
+    lo = curve["bin_edges"][:-1][valid]
+    hi = curve["bin_edges"][1:][valid]
+    conf = curve["confidence"][valid]
+    assert ((conf >= lo - 1e-12) & (conf <= hi + 1e-12)).all()
+    # overconfident model: accuracy below confidence in the populated bins
+    gap = conf - curve["accuracy"][valid]
+    assert gap[curve["count"][valid] > 50].mean() > 0.05
+
+
+def test_calibration_report_protocol():
+    val_logits, val_labels = _miscalibrated(t_true=3.0, seed=4)
+    test_logits, test_labels = _miscalibrated(t_true=3.0, seed=5)
+    rep = calibration_report(val_logits, val_labels, test_logits, test_labels)
+    assert 2.4 < rep["temperature"] < 3.6
+    # T fit on val transfers: test ECE and NLL both improve
+    assert rep["ece_after"] < rep["ece_before"]
+    assert rep["nll_after"] < rep["nll_before"]
+    assert rep["reliability_after"]["count"].sum() == test_labels.size

@@ -168,6 +168,98 @@ def test_artifact_serving_over_http(tmp_path):
         mb.close()
 
 
+def test_export_mmbt_predictor(tmp_path):
+    from multimodal_uncertainty_tpu.export import export_mmbt_predictor
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertClf
+    from multimodal_uncertainty_tpu.serving import MMBTPredictor
+
+    import jax.numpy as jnp
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = MultimodalBertClf(config=cfg, n_classes=4, num_image_embeds=3,
+                              resnet_layers=(1, 1, 1, 1), attn_impl="xla")
+    rng = np.random.default_rng(0)
+    b, lt = 2, 6
+    x = (jnp.asarray(rng.integers(0, 120, size=(b, lt))),
+         jnp.ones((b, lt), jnp.int32), jnp.ones((b, lt), jnp.int32),
+         jnp.asarray(rng.normal(size=(b, 64, 64, 3)).astype(np.float32)))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    ckpt = os.path.join(tmp_path, "mmbt_best_val.pt")
+    save_weights(variables, None, ckpt)
+    pred = MMBTPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+
+    art = os.path.join(tmp_path, "mmbt_artifact")
+    export_mmbt_predictor(pred, art, txt_len=lt, image_size=64)
+    loaded = load_exported(art)
+    assert loaded.meta["family"] == "mmbt"
+    for n in (1, 3):
+        txt = rng.integers(0, 120, size=(n, lt)).astype(np.int32)
+        mask = np.ones((n, lt), np.int32)
+        seg = np.ones((n, lt), np.int32)
+        img = rng.normal(size=(n, 64, 64, 3)).astype(np.float32)
+        probs = loaded(txt, mask, seg, img)
+        np.testing.assert_allclose(
+            probs, pred.predict(txt, mask, seg, img), atol=1e-5
+        )
+
+
+def test_export_vilt_predictor(tmp_path):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.export import export_vilt_predictor
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import ViltPredictor
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        image_size=64, num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    n, lt = 2, 7
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(n, lt)).astype(np.int64),
+        "attention_mask": np.ones((n, lt), np.int64),
+        "token_type_ids": np.zeros((n, lt), np.int64),
+        "pixel_values": rng.normal(size=(n, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+    pred = ViltPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+
+    art = os.path.join(tmp_path, "vilt_artifact")
+    export_vilt_predictor(pred, art, txt_len=lt)
+    loaded = load_exported(art)
+    assert loaded.meta["family"] == "vilt"
+    assert loaded.meta["image_size"] == 64
+    probs = loaded(
+        batch["input_ids"], batch["attention_mask"],
+        batch["token_type_ids"], batch["pixel_values"],
+        np.ones((n, 64, 64), np.int64),
+    )
+    np.testing.assert_allclose(probs, pred.predict(batch), atol=1e-5)
+    # symbolic batch: a different size runs through the same program
+    one = loaded(
+        batch["input_ids"][:1], batch["attention_mask"][:1],
+        batch["token_type_ids"][:1], batch["pixel_values"][:1],
+        np.ones((1, 64, 64), np.int64),
+    )
+    np.testing.assert_allclose(one, probs[:1], atol=1e-5)
+
+
 def test_save_exported_generic_fn(tmp_path):
     """The generic helper exports any fn(variables, *inputs)."""
     variables = {"w": np.eye(4, dtype=np.float32) * 2.0}
