@@ -146,6 +146,7 @@ def export_mmbt_predictor(
         ]
     model = predictor.model
     quantize = predictor.quantize
+    temperature = float(getattr(predictor, "temperature", 1.0))
 
     def fn(variables, txt, mask, segment, img):
         from multimodal_uncertainty_tpu.serving import _quant_ctx
@@ -155,12 +156,15 @@ def export_mmbt_predictor(
                 variables, (txt, mask, segment, img), train=False,
                 seq_keep_mask=None,
             )
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jax.nn.softmax(
+            logits.astype(jnp.float32) / temperature, axis=-1
+        )
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
         meta={
             "family": "mmbt",
+            "temperature": temperature,
             "txt_len": txt_len,
             "image_size": image_size,
             "quantize": quantize,
@@ -199,6 +203,7 @@ def export_vilt_predictor(
         ]
     model = predictor.model
     quantize = predictor.quantize
+    temperature = float(getattr(predictor, "temperature", 1.0))
 
     def fn(variables, ids, am, tt, pv, pm):
         from multimodal_uncertainty_tpu.serving import _quant_ctx
@@ -212,12 +217,15 @@ def export_vilt_predictor(
         }
         with _quant_ctx(quantize):
             out = model.apply(variables, batch, train=False)
-        return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+        return jax.nn.softmax(
+            out.logits.astype(jnp.float32) / temperature, axis=-1
+        )
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
         meta={
             "family": "vilt",
+            "temperature": temperature,
             "txt_len": txt_len,
             "image_size": size,
             "quantize": quantize,
@@ -277,28 +285,45 @@ def export_fusion_predictor(
     embed_dim: int = 768,
     txt_embed_dim: Optional[int] = None,  # defaults to embed_dim
     symbolic_batch: bool = True,
+    symbolic_lengths: bool = False,
     platforms: Optional[Sequence[str]] = None,
 ) -> None:
     """Export a :class:`serving.FusionPredictor`'s padded forward
     ``(img, txt, img_mask, txt_mask) -> ensemble-mean probs`` as an
     artifact. ``img_len``/``txt_len`` fix the (padded) sequence lengths;
-    callers pad exactly like ``FusionPredictor.predict`` does."""
-    example = [
-        np.zeros((1, img_len, embed_dim), np.float32),
-        np.zeros((1, txt_len, txt_embed_dim or embed_dim), np.float32),
-        np.zeros((1, img_len), bool),
-        np.zeros((1, txt_len), bool),
-    ]
-    if symbolic_batch:
-        specs = symbolic_batch_specs(example)
-    else:
+    callers pad exactly like ``FusionPredictor.predict`` does. With
+    ``symbolic_lengths=True`` the sequence dims are ALSO polymorphic
+    (``li``/``lt`` symbols; img_len/txt_len become documentation-only
+    meta) — one program for every padding, zero length buckets."""
+    d_i, d_t = embed_dim, txt_embed_dim or embed_dim
+    if symbolic_lengths:
+        if not symbolic_batch:
+            raise ValueError("symbolic_lengths requires symbolic_batch")
+        b, li, lt = jax.export.symbolic_shape("b, li, lt")
         specs = [
-            jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
-            for a in example
+            jax.ShapeDtypeStruct((b, li, d_i), jnp.float32),
+            jax.ShapeDtypeStruct((b, lt, d_t), jnp.float32),
+            jax.ShapeDtypeStruct((b, li), jnp.bool_),
+            jax.ShapeDtypeStruct((b, lt), jnp.bool_),
         ]
+    else:
+        example = [
+            np.zeros((1, img_len, d_i), np.float32),
+            np.zeros((1, txt_len, d_t), np.float32),
+            np.zeros((1, img_len), bool),
+            np.zeros((1, txt_len), bool),
+        ]
+        if symbolic_batch:
+            specs = symbolic_batch_specs(example)
+        else:
+            specs = [
+                jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+                for a in example
+            ]
 
     model = predictor.model
     quantize = predictor.quantize
+    temperature = float(getattr(predictor, "temperature", 1.0))
 
     def fn(variables, img, txt, img_mask, txt_mask):
         from multimodal_uncertainty_tpu.serving import _quant_ctx
@@ -308,17 +333,21 @@ def export_fusion_predictor(
                 variables, (img, txt), train=False,
                 img_mask=img_mask, txt_mask=txt_mask,
             )
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = jax.nn.softmax(
+            logits.astype(jnp.float32) / temperature, axis=-1
+        )
         return probs.mean(axis=1)
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
         meta={
             "family": "flava_fusion",
+            "temperature": temperature,
             "img_len": img_len,
             "txt_len": txt_len,
-            "img_dim": embed_dim,
-            "txt_dim": txt_embed_dim or embed_dim,
+            "img_dim": d_i,
+            "txt_dim": d_t,
+            "symbolic_lengths": symbolic_lengths,
             "quantize": quantize,
             "outputs": "ensemble-mean class probabilities",
         },

@@ -44,6 +44,7 @@ class FusionPredictor:
         pad_multiple: int = 32,
         batch_buckets: Sequence[int] = (8, 32, 128),
         quantize: Optional[str] = None,  # None | 'int8' | 'int8_weight'
+        temperature: float = 1.0,  # analysis.calibration.fit_temperature
     ):
         model_sd, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_sd)
@@ -51,6 +52,7 @@ class FusionPredictor:
         self.pad_multiple = pad_multiple
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
+        self.temperature = float(temperature)
 
         @jax.jit
         def _forward(variables, img, txt, img_mask, txt_mask):
@@ -59,7 +61,10 @@ class FusionPredictor:
                     variables, (img, txt), train=False,
                     img_mask=img_mask, txt_mask=txt_mask,
                 )
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            # per-head tempering BEFORE the head average keeps every member
+            # a proper distribution (analysis/calibration.py semantics)
+            logits = logits.astype(jnp.float32) / self.temperature
+            probs = jax.nn.softmax(logits, axis=-1)
             return probs.mean(axis=1)  # ensemble-mean over heads
 
         self._forward = _forward
@@ -144,18 +149,21 @@ class ViltPredictor:
 
     def __init__(self, model, checkpoint_path, *, template_variables,
                  batch_buckets: Sequence[int] = (8, 32),
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 temperature: float = 1.0):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
+        self.temperature = float(temperature)
 
         @jax.jit
         def _forward(variables, batch):
             with _quant_ctx(quantize):
                 out = model.apply(variables, batch, train=False)
-            return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+            logits = out.logits.astype(jnp.float32) / self.temperature
+            return jax.nn.softmax(logits, axis=-1)
 
         self._forward = _forward
 
@@ -218,12 +226,14 @@ class MMBTPredictor:
         template_variables,
         batch_buckets: Sequence[int] = (8, 32),
         quantize: Optional[str] = None,
+        temperature: float = 1.0,
     ):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
+        self.temperature = float(temperature)
 
         @jax.jit
         def _forward(variables, txt, mask, segment, img, keep_mask):
@@ -232,7 +242,8 @@ class MMBTPredictor:
                     variables, (txt, mask, segment, img), train=False,
                     seq_keep_mask=keep_mask,
                 )
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            logits = logits.astype(jnp.float32) / self.temperature
+            return jax.nn.softmax(logits, axis=-1)
 
         self._forward = _forward
 

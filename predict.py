@@ -32,27 +32,18 @@ def _serve_forever(srv, mb):
         mb.close()
 
 
-def _serve_family(args, n_classes):
-    """Bring up an MMBT or ViLT checkpoint as an HTTP endpoint (the fusion
-    family serves through the main flow below). The template config must
-    match the checkpoint (same flags as the train.py run)."""
+def _family_predictor(args, n_classes):
+    """Build the MMBT or ViLT predictor from template flags matching the
+    train.py run (the fusion family builds through the main flow below)."""
     import dataclasses as dc
 
     import jax
 
     from multimodal_uncertainty_tpu import zoo
-    from multimodal_uncertainty_tpu.server import (
-        PredictionServer,
-        mmbt_request,
-        vilt_request,
-    )
 
     if args.framework == "mmbt":
         from multimodal_uncertainty_tpu.models.bert import BertConfig
-        from multimodal_uncertainty_tpu.serving import (
-            MMBTPredictor,
-            mmbt_micro_batcher,
-        )
+        from multimodal_uncertainty_tpu.serving import MMBTPredictor
 
         if args.tiny:
             bert_cfg = dc.replace(
@@ -77,43 +68,78 @@ def _serve_family(args, n_classes):
         variables = {"params": setup.state.params}
         if setup.state.batch_stats is not None:
             variables["batch_stats"] = setup.state.batch_stats
-        pred = MMBTPredictor(
+        return MMBTPredictor(
             setup.model, args.checkpoint_path, template_variables=variables,
             batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
+            temperature=args.temperature,
         )
+
+    # vilt
+    from multimodal_uncertainty_tpu.serving import ViltPredictor
+
+    vilt_cfg = None
+    if args.tiny:
+        from multimodal_uncertainty_tpu.models.vilt import ViltConfig
+
+        vilt_cfg = dc.replace(
+            ViltConfig.b32(), hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            num_labels=n_classes, image_size=384,
+        )
+    setup = zoo.setup_vilt(
+        n_classes=n_classes, vilt_config=vilt_cfg,
+        gradient_accumulation_steps=1, seed_key=jax.random.key(0),
+    )
+    return ViltPredictor(
+        setup.model, args.checkpoint_path,
+        template_variables={"params": setup.state.params},
+        batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
+        temperature=args.temperature,
+    )
+
+
+def _serve_family(args, n_classes):
+    """Bring up an MMBT or ViLT checkpoint as an HTTP endpoint."""
+    from multimodal_uncertainty_tpu.server import (
+        PredictionServer,
+        mmbt_request,
+        vilt_request,
+    )
+
+    pred = _family_predictor(args, n_classes)
+    if args.framework == "mmbt":
+        from multimodal_uncertainty_tpu.serving import mmbt_micro_batcher
+
         mb = mmbt_micro_batcher(pred, max_batch=args.serve_max_batch,
                                 max_wait_ms=args.serve_max_wait_ms)
         decode = mmbt_request
-    else:  # vilt
-        from multimodal_uncertainty_tpu.serving import (
-            ViltPredictor,
-            vilt_micro_batcher,
-        )
+    else:
+        from multimodal_uncertainty_tpu.serving import vilt_micro_batcher
 
-        vilt_cfg = None
-        if args.tiny:
-            from multimodal_uncertainty_tpu.models.vilt import ViltConfig
-
-            vilt_cfg = dc.replace(
-                ViltConfig.b32(), hidden_size=64, num_hidden_layers=2,
-                num_attention_heads=2, intermediate_size=128,
-                num_labels=n_classes, image_size=384,
-            )
-        setup = zoo.setup_vilt(
-            n_classes=n_classes, vilt_config=vilt_cfg,
-            gradient_accumulation_steps=1, seed_key=jax.random.key(0),
-        )
-        pred = ViltPredictor(
-            setup.model, args.checkpoint_path,
-            template_variables={"params": setup.state.params},
-            batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
-        )
         mb = vilt_micro_batcher(pred, max_batch=args.serve_max_batch,
                                 max_wait_ms=args.serve_max_wait_ms)
         decode = vilt_request
 
     srv = PredictionServer(mb, decode, port=args.serve).start()
     _serve_forever(srv, mb)
+
+
+def _export_family(args, n_classes):
+    """Write the AOT artifact for an MMBT or ViLT checkpoint."""
+    from multimodal_uncertainty_tpu.export import (
+        export_mmbt_predictor,
+        export_vilt_predictor,
+    )
+
+    pred = _family_predictor(args, n_classes)
+    if args.framework == "mmbt":
+        export_mmbt_predictor(
+            pred, args.export, txt_len=args.export_txt_len,
+            image_size=224,
+        )
+    else:
+        export_vilt_predictor(pred, args.export, txt_len=args.export_txt_len)
+    print(f"exported {args.framework} AOT artifact to {args.export}")
 
 
 def main():
@@ -135,6 +161,11 @@ def main():
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--out", default="predictions.csv")
     parser.add_argument("--uncertainty", action="store_true")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="serve-time temperature scaling (fit with "
+                             "analysis.calibration.fit_temperature; divides "
+                             "logits before softmax, also baked into "
+                             "--export artifacts)")
     parser.add_argument("--quantize", default=None,
                         choices=["int8", "int8_weight"],
                         help="int8 serving: dynamic W8A8 or weight-only "
@@ -225,17 +256,20 @@ def main():
         n_classes = 2
 
     if args.framework != "flava":
-        if args.serve is None:
+        if args.serve is None and args.export is None:
             raise SystemExit(
-                "--framework mmbt/vilt supports --serve mode only (batch "
-                "CSV prediction is the flava packed-shard flow)"
+                "--framework mmbt/vilt supports --serve and --export modes "
+                "only (batch CSV prediction is the flava packed-shard flow)"
             )
         if args.uncertainty:
             raise SystemExit(
                 "--uncertainty responses are implemented for the flava "
                 "family (modality ablation over embedding masks)"
             )
-        _serve_family(args, n_classes)
+        if args.export is not None:
+            _export_family(args, n_classes)
+        else:
+            _serve_family(args, n_classes)
         return
 
     setup = setup_flava(
@@ -256,6 +290,7 @@ def main():
         template_variables={"params": setup.state.params},
         batch_buckets=(args.batch_size,),
         quantize=args.quantize,
+        temperature=args.temperature,
     )
 
     if args.export is not None:

@@ -77,6 +77,41 @@ def test_reliability_curve_contract():
     assert gap[curve["count"][valid] > 50].mean() > 0.05
 
 
+def test_calibrate_cli_on_prediction_artifacts(tmp_path):
+    """tools/calibrate.py consumes the eval_prediction_saving artifact
+    contract ((S, E, C) logits + labels) and emits the report JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(6)
+    val_logits, val_labels = _miscalibrated(t_true=3.0, seed=6)
+    heads = val_logits[:, None, :] + rng.normal(
+        size=(val_logits.shape[0], 2, 1)
+    ) * 0.05
+    vp = tmp_path / "model_best_val_predictions.npy"
+    vl = tmp_path / "model_best_val_labels.npy"
+    np.save(vp, heads)
+    np.save(vl, val_labels)
+    out_csv = tmp_path / "reliability.csv"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "calibrate.py"),
+         "--val_predictions", str(vp), "--val_labels", str(vl),
+         "--reliability_csv", str(out_csv)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    rep = json.loads(proc.stdout)
+    assert rep["eval_split"] == "val"
+    assert rep["ece_after"] < rep["ece_before"]
+    assert "--temperature" in rep["serve_with"]
+    rows = np.loadtxt(out_csv, delimiter=",", skiprows=1)
+    assert rows.shape == (15, 5)
+    assert rows[:, 4].sum() == val_labels.size
+
+
 def test_calibration_report_protocol():
     val_logits, val_labels = _miscalibrated(t_true=3.0, seed=4)
     test_logits, test_labels = _miscalibrated(t_true=3.0, seed=5)
