@@ -482,12 +482,15 @@ def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
 
 def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
                        max_wait_ms: float = 5.0,
-                       pad_multiple: int = 32) -> MicroBatcher:
+                       pad_multiple: int = 32,
+                       uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over an MMBTPredictor. Each sample is
     ``(token_ids, segment, image)`` — the JsonlDataset row convention
     (variable-length text, (H, W, 3) image); text pads to the coalesced
     batch's max length rounded up to ``pad_multiple`` (bounds the compiled
-    shape count), mask marks real tokens."""
+    shape count), mask marks real tokens. ``uncertainty=True`` returns
+    ``(probs, diag)`` per sample via the encoder keep-mask ablations
+    (three forwards per coalesced batch)."""
 
     def predict_batch(samples):
         n = len(samples)
@@ -500,6 +503,14 @@ def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
             txt[i, : len(ids)] = ids
             seg[i, : len(ids)] = segment
             mask[i, : len(ids)] = 1
+        if uncertainty:
+            probs, diag = predictor.predict_with_uncertainty(
+                txt, mask, seg, img
+            )
+            return [
+                (probs[i], {k: v[i] for k, v in diag.items()})
+                for i in range(n)
+            ]
         return list(predictor.predict(txt, mask, seg, img))
 
     return MicroBatcher(predict_batch, max_batch=max_batch,
@@ -508,7 +519,8 @@ def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
 
 def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
                        max_wait_ms: float = 5.0,
-                       pad_multiple: int = 8) -> MicroBatcher:
+                       pad_multiple: int = 8,
+                       uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over a ViltPredictor. Each sample is a per-sample
     processor dict (``input_ids``/``attention_mask``/``token_type_ids``
     of length L, ``pixel_values`` (H, W, 3), optional ``pixel_mask``);
@@ -542,6 +554,12 @@ def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
                 else np.ones(hw, np.int64)
                 for s in samples
             ])
+        if uncertainty:
+            probs, diag = predictor.predict_with_uncertainty(batch)
+            return [
+                (probs[i], {k: v[i] for k, v in diag.items()})
+                for i in range(n)
+            ]
         return list(predictor.predict(batch))
 
     return MicroBatcher(predict_batch, max_batch=max_batch,

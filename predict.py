@@ -111,16 +111,23 @@ def _serve_family(args, n_classes):
         from multimodal_uncertainty_tpu.serving import mmbt_micro_batcher
 
         mb = mmbt_micro_batcher(pred, max_batch=args.serve_max_batch,
-                                max_wait_ms=args.serve_max_wait_ms)
+                                max_wait_ms=args.serve_max_wait_ms,
+                                uncertainty=args.uncertainty)
         decode = mmbt_request
     else:
         from multimodal_uncertainty_tpu.serving import vilt_micro_batcher
 
         mb = vilt_micro_batcher(pred, max_batch=args.serve_max_batch,
-                                max_wait_ms=args.serve_max_wait_ms)
+                                max_wait_ms=args.serve_max_wait_ms,
+                                uncertainty=args.uncertainty)
         decode = vilt_request
 
-    srv = PredictionServer(mb, decode, port=args.serve).start()
+    from multimodal_uncertainty_tpu.server import uncertainty_result
+
+    srv = PredictionServer(
+        mb, decode, port=args.serve,
+        encode_result=uncertainty_result if args.uncertainty else None,
+    ).start()
     _serve_forever(srv, mb)
 
 
@@ -182,7 +189,8 @@ def main():
     parser.add_argument("--serve_max_wait_ms", type=float, default=5.0)
     parser.add_argument("--framework", default="flava",
                         choices=["flava", "mmbt", "vilt"],
-                        help="model family (mmbt/vilt: --serve mode only; "
+                        help="model family (mmbt/vilt: --serve/--export "
+                             "modes; "
                              "batch CSV prediction is the flava/packed-"
                              "shard flow)")
     # mmbt/vilt serving template config (must match the checkpoint)
@@ -260,11 +268,6 @@ def main():
             raise SystemExit(
                 "--framework mmbt/vilt supports --serve and --export modes "
                 "only (batch CSV prediction is the flava packed-shard flow)"
-            )
-        if args.uncertainty:
-            raise SystemExit(
-                "--uncertainty responses are implemented for the flava "
-                "family (modality ablation over embedding masks)"
             )
         if args.export is not None:
             _export_family(args, n_classes)

@@ -485,3 +485,100 @@ def test_vilt_micro_batcher_mixed_pixel_mask(tmp_path):
     got = [f.result(timeout=60) for f in futs]
     mb.close()
     np.testing.assert_allclose(got[0], solo, atol=1e-5)
+
+
+def test_mmbt_micro_batcher_uncertainty(tmp_path):
+    """uncertainty=True serves (probs, diag) per sample, equal to the
+    predictor's own ablation diagnostics on the same padded batch."""
+    from multimodal_uncertainty_tpu.serving import (
+        MMBTPredictor,
+        mmbt_micro_batcher,
+    )
+
+    model, variables, ckpt = _make_mmbt_ckpt(tmp_path)
+    pred = MMBTPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+    rng = np.random.default_rng(11)
+    L = 6
+    samples = [
+        (rng.integers(0, 120, size=L).astype(np.int64),
+         np.ones(L, np.int64),
+         rng.normal(size=(64, 64, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    mb = mmbt_micro_batcher(pred, max_batch=4, max_wait_ms=20,
+                            pad_multiple=8, uncertainty=True)
+    futs = [mb.submit(s) for s in samples]
+    got = [f.result(timeout=120) for f in futs]
+    mb.close()
+
+    lt = 8
+    txt = np.zeros((2, lt), np.int64)
+    seg = np.zeros((2, lt), np.int64)
+    mask = np.zeros((2, lt), np.int64)
+    img = np.stack([s[2] for s in samples])
+    for i, (ids, segment, _) in enumerate(samples):
+        txt[i, :L] = ids
+        seg[i, :L] = segment
+        mask[i, :L] = 1
+    ref_probs, ref_diag = pred.predict_with_uncertainty(txt, mask, seg, img)
+    for i, (probs, diag) in enumerate(got):
+        np.testing.assert_allclose(probs, ref_probs[i], atol=1e-5)
+        assert set(diag) == {
+            "confidence", "image_sensitivity", "text_sensitivity"
+        }
+        for k in diag:
+            np.testing.assert_allclose(diag[k], ref_diag[k][i], atol=1e-5)
+
+
+def test_vilt_micro_batcher_uncertainty(tmp_path):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import (
+        ViltPredictor,
+        vilt_micro_batcher,
+    )
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64, image_size=64,
+        num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    n, lt = 2, 7
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(n, lt)).astype(np.int64),
+        "attention_mask": np.ones((n, lt), np.int64),
+        "token_type_ids": np.zeros((n, lt), np.int64),
+        "pixel_values": rng.normal(size=(n, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+    pred = ViltPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+
+    # pad_multiple=7 keeps the adapter's padded length == lt so the
+    # reference call below sees the identical padded batch
+    mb = vilt_micro_batcher(pred, max_batch=4, max_wait_ms=20,
+                            pad_multiple=7, uncertainty=True)
+    samples = [
+        {k: np.asarray(v[i]) for k, v in batch.items()} for i in range(n)
+    ]
+    futs = [mb.submit(s) for s in samples]
+    got = [f.result(timeout=120) for f in futs]
+    mb.close()
+
+    ref_probs, ref_diag = pred.predict_with_uncertainty(batch)
+    for i, (probs, diag) in enumerate(got):
+        np.testing.assert_allclose(probs, ref_probs[i], atol=1e-5)
+        for k in diag:
+            np.testing.assert_allclose(diag[k], ref_diag[k][i], atol=1e-5)
