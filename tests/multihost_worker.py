@@ -5,12 +5,13 @@ either as ONE process owning all 8 devices or as one of TWO processes
 owning 4 each (jax.distributed over a localhost coordinator). Saves final
 params + per-epoch losses so the test can compare the two topologies.
 
-Usage: python multihost_worker.py OUTDIR NUM_PROCESSES PROCESS_ID PORT [MP]
+Usage: python multihost_worker.py OUTDIR NUM_PROCESSES PROCESS_ID PORT [MP] [FSDP]
 
 MP (default 1) sets the 'model' mesh axis: MP=2 runs DPxTP with
 megatron-sharded transformer weights — laid out so each TP pair is
 process-local (rows of the device grid), the realistic pod layout where
-TP rides intra-host ICI.
+TP rides intra-host ICI. FSDP=1 additionally shards params + optimizer
+moments over 'data' (ZeRO-3) with the in-step sharding constraint.
 """
 import os
 import sys
@@ -21,6 +22,7 @@ def main():
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
     )
     mp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    fsdp = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
     n_local = 8 // num_procs
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -48,7 +50,10 @@ def main():
 
     from multimodal_uncertainty_tpu.data.fmnist import get_fmnist
     from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
-    from multimodal_uncertainty_tpu.parallel.sharding import shard_state
+    from multimodal_uncertainty_tpu.parallel.sharding import (
+        shard_state,
+        state_sharding_tree,
+    )
     from multimodal_uncertainty_tpu.training.trainer import Trainer
     from multimodal_uncertainty_tpu.zoo import setup_fashionmnist
 
@@ -63,7 +68,11 @@ def main():
         seed_key=jax.random.key(1), attn_impl="xla",
     )
     mesh = make_mesh(8, model_parallel=mp)
-    state = shard_state(setup.state, mesh, tp=mp > 1)
+    state = shard_state(setup.state, mesh, tp=mp > 1, fsdp=fsdp)
+    state_sh = (
+        state_sharding_tree(setup.state, mesh, tp=mp > 1, fsdp=True)
+        if fsdp else None
+    )
 
     trainer = Trainer(
         setup.bundle,
@@ -73,6 +82,7 @@ def main():
         size_fn=setup.size_fn,
         verbose=False,
         put_batch_fn=put_global_batch_fn(mesh),
+        state_shardings=state_sh,
     )
     H = {}
 
@@ -90,20 +100,25 @@ def main():
                        steps_per_epoch=len(train), validation_steps=len(train),
                        epochs=2, callbacks=[cb], patience=10, ece=True)
 
-    if is_primary():
-        from multimodal_uncertainty_tpu.parallel.multihost import (
-            gather_to_host,
-        )
+    from multimodal_uncertainty_tpu.parallel.multihost import (
+        gather_to_host,
+    )
 
-        # TP-sharded params are not fully addressable on one process;
-        # gather for the cross-topology comparison (test-only — real
-        # checkpointing of this state goes through orbax)
-        leaves = [
-            np.asarray(jax.device_get(gather_to_host(l)))
-            for l in jax.tree_util.tree_leaves(trainer.state.params)
-        ]
+    # TP/FSDP-sharded params are not fully addressable on one process;
+    # gather for the cross-topology comparison (test-only — real
+    # checkpointing of this state goes through orbax). process_allgather
+    # is a COLLECTIVE: every process must participate, only the primary
+    # writes.
+    leaves = [
+        np.asarray(jax.device_get(gather_to_host(l)))
+        for l in jax.tree_util.tree_leaves(trainer.state.params)
+    ]
+    if is_primary():
         np.savez(
-            os.path.join(out_dir, f"result_np{num_procs}_mp{mp}.npz"),
+            os.path.join(
+                out_dir,
+                f"result_np{num_procs}_mp{mp}{'_fsdp' if fsdp else ''}.npz",
+            ),
             losses=np.asarray(H["loss"], np.float64),
             val_ece=np.asarray(H["val_ece"], np.float64),
             **{f"p{i}": l for i, l in enumerate(leaves)},

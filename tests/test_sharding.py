@@ -746,6 +746,57 @@ def test_pipeline_parallel_matches_sequential():
     check(pipe_remat, xs)
 
 
+def test_orbax_roundtrip_on_fsdp_shardings(tmp_path):
+    """The FSDP production loop: an FSDP-sharded train state saves through
+    orbax and restores directly onto a fresh FSDP-sharded template —
+    arrays exact AND back on their 'data'-sharded specs (no host gather),
+    plus cross-topology elasticity (FSDP(4,2) checkpoint -> pure-DP(8,1)
+    FSDP template)."""
+    from multimodal_uncertainty_tpu.parallel.sharding import (
+        state_sharding_tree,
+    )
+    from multimodal_uncertainty_tpu.training import orbax_io
+    from multimodal_uncertainty_tpu.training.steps import build_train_step
+
+    setup = _setup()
+    mesh = make_mesh(8, model_parallel=2)
+    state = shard_state(setup.state, mesh, tp=True, fsdp=True)
+    step = build_train_step(
+        setup.bundle, setup.optimizer, donate=False,
+        state_shardings=state_sharding_tree(setup.state, mesh, tp=True,
+                                            fsdp=True),
+    )
+    (img, txt), y = _batch()
+    put = put_batch_fn(mesh)
+    (s_img, s_txt), s_y = put(((img, txt), y))
+    state, _ = step(state, (s_img, s_txt), s_y, jax.random.key(7), None)
+
+    d = str(tmp_path / "orbax_fsdp")
+    orbax_io.save_train_state(state, d, step=1)
+
+    template = shard_state(setup.state, mesh, tp=True, fsdp=True)
+    restored = orbax_io.restore_train_state(template, d)
+    k_path = lambda p: p["mm_encoder"]["resblocks_0"]["c_fc"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(k_path(restored.params)), np.asarray(k_path(state.params))
+    )
+    assert "data" in str(k_path(restored.params).sharding.spec)
+    assert "data" in str(
+        k_path(restored.opt_state["mu"]).sharding.spec
+    )
+
+    # elasticity: same checkpoint restores onto a DIFFERENT mesh shape
+    mesh2 = make_mesh(8, model_parallel=1)
+    template2 = shard_state(setup.state, mesh2, fsdp=True)
+    restored2 = orbax_io.restore_train_state(template2, d)
+    np.testing.assert_array_equal(
+        np.asarray(k_path(restored2.params)), np.asarray(k_path(state.params))
+    )
+    assert dict(
+        k_path(restored2.params).sharding.mesh.shape
+    ) == {"data": 8, "model": 1}
+
+
 def test_checkpoint_restores_across_topologies(tmp_path):
     """Elasticity: checkpoints are topology-free host pytrees — a run
     trained unsharded restores onto an 8-device DP mesh (and the sharded
