@@ -10,6 +10,13 @@ argmax are unchanged; only confidence moves.
 All numpy, offline (the analysis layer's convention — consumes the
 ``eval_prediction_saving`` ``.npy`` artifacts: per-head logits (S, E, C) +
 labels (S,)).
+
+Caveat worth knowing before applying T blindly: the fit minimizes NLL, not
+ECE. For the usual overconfident trained network both improve together; for
+an UNDERconfident or near-random model (e.g. a 1-epoch smoke run) the
+NLL-optimal T sharpens the distribution and max-prob ECE can get WORSE
+while NLL still improves. ``calibration_report`` returns both before/after
+pairs so the decision is made on numbers, not assumption.
 """
 from __future__ import annotations
 

@@ -31,4 +31,14 @@ for model_type in MultiHead MIMO-shuffle-instance; do
     --sample_size 64 --n_epochs 2 --batch_size 16 --lr 1e-4 \
     > unitest/out/$name.txt 2> unitest/error/$name.txt
 done
+
+# temperature-scaling calibration on the prediction dumps (MultiHead run)
+name="fmnist_MultiHead"
+python tools/calibrate.py \
+  --val_predictions /tmp/mmu_unitest/$name/model_best_val_predictions.npy \
+  --val_labels /tmp/mmu_unitest/$name/model_best_val_labels.npy \
+  --reliability_csv /tmp/mmu_unitest/$name/reliability.csv \
+  > unitest/out/calibrate_fmnist.txt 2> unitest/error/calibrate_fmnist.txt
+test -s /tmp/mmu_unitest/$name/reliability.csv
+
 echo "fashionmnist smoke matrix OK"

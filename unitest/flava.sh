@@ -43,4 +43,15 @@ python predict.py \
   --batch_size 8 --out /tmp/mmu_unitest/$name/predictions.csv \
   >> unitest/out/predict_flava.txt 2>> unitest/error/predict_flava.txt
 
+# AOT export (jax.export artifact: StableHLO + weights, symbolic batch)
+name="flava_food101_MultiHead"
+python predict.py \
+  --checkpoint_path /tmp/mmu_unitest/$name/model_best_val.pt \
+  --dataset food101 --model_type MultiHead \
+  --export /tmp/mmu_unitest/$name/artifact --export_txt_len 64 \
+  > unitest/out/export_flava.txt 2> unitest/error/export_flava.txt
+test -f /tmp/mmu_unitest/$name/artifact/fn.stablehlo
+
+# (temperature-scaling calibration is smoked in unitest/fashionmnist.sh
+# on the eval_prediction_saving dumps)
 echo "flava smoke matrix OK"
