@@ -48,19 +48,34 @@ def save_exported(
     *,
     platforms: Optional[Sequence[str]] = None,
     meta: Optional[dict] = None,
+    allow_tpu_kernels: bool = False,
 ) -> None:
     """Export ``fn(variables, *inputs)`` and write the directory artifact.
 
     ``input_specs`` are ShapeDtypeStructs for the non-variable inputs; shapes
     may contain symbolic dims (see :func:`symbolic_batch_specs`).
+
+    ``allow_tpu_kernels=True`` permits the Mosaic ``tpu_custom_call`` in the
+    exported program, so fixed-shape artifacts can bake the fused Pallas
+    attention path (jax.export rejects non-portable custom calls by
+    default). Such artifacts are TPU-only and tied to the compiler
+    generation that serialized them — the trade for serving at live-kernel
+    speed; ``meta.json`` records ``tpu_kernels: true`` so loaders can warn.
     """
     os.makedirs(path, exist_ok=True)
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
         variables,
     )
+    disabled = (
+        [jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        if allow_tpu_kernels
+        else []
+    )
     exported = jax.export.export(
-        jax.jit(fn), platforms=tuple(platforms) if platforms else None
+        jax.jit(fn),
+        platforms=tuple(platforms) if platforms else None,
+        disabled_checks=disabled,
     )(var_specs, *input_specs)
     with open(os.path.join(path, _FN_FILE), "wb") as f:
         f.write(exported.serialize())
@@ -100,7 +115,11 @@ class ExportedPredictor:
 
     def __init__(self, exported, variables, meta: dict):
         self.exported = exported
-        self.variables = variables
+        # Device-commit the weights ONCE: the msgpack restore yields numpy
+        # arrays, and passing those to a jit re-uploads every weight on
+        # EVERY call (measured 28x serving slowdown before this line —
+        # invisible on a fast PCIe host, glaring on a slow link).
+        self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
         self.meta = meta
         self._call = jax.jit(exported.call)
 
@@ -116,6 +135,16 @@ def load_exported(path: str) -> ExportedPredictor:
         variables = serialization.msgpack_restore(f.read())
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
+    if meta.get("tpu_kernels") and jax.default_backend() not in ("tpu",):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "artifact %s was exported with TPU Pallas kernels allowed "
+            "(tpu_custom_call) but the current backend is %s — calls will "
+            "fail if the program contains the kernels; re-export without "
+            "allow_tpu_kernels for a portable artifact",
+            path, jax.default_backend(),
+        )
     return ExportedPredictor(exported, variables, meta)
 
 
@@ -127,15 +156,22 @@ def export_mmbt_predictor(
     image_size: int = 224,
     symbolic_batch: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    allow_tpu_kernels: bool = False,
+    fixed_batch: int = 1,
 ) -> None:
     """Export a :class:`serving.MMBTPredictor`'s full-input forward
     ``(txt_ids, mask, segment, img) -> probs``. Ablation keep-masks are a
-    live-predictor feature; the artifact serves the full multimodal path."""
+    live-predictor feature; the artifact serves the full multimodal path.
+    ``allow_tpu_kernels``/``fixed_batch`` as in
+    :func:`export_fusion_predictor` (fixed-shape kernel-path artifact)."""
+    if allow_tpu_kernels and symbolic_batch:
+        raise ValueError("allow_tpu_kernels requires symbolic_batch=False")
+    nb = 1 if symbolic_batch else int(fixed_batch)
     example = [
-        np.zeros((1, txt_len), np.int32),
-        np.ones((1, txt_len), np.int32),
-        np.ones((1, txt_len), np.int32),
-        np.zeros((1, image_size, image_size, 3), np.float32),
+        np.zeros((nb, txt_len), np.int32),
+        np.ones((nb, txt_len), np.int32),
+        np.ones((nb, txt_len), np.int32),
+        np.zeros((nb, image_size, image_size, 3), np.float32),
     ]
     if symbolic_batch:
         specs = symbolic_batch_specs(example)
@@ -162,12 +198,15 @@ def export_mmbt_predictor(
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
+        allow_tpu_kernels=allow_tpu_kernels,
         meta={
             "family": "mmbt",
             "temperature": temperature,
             "txt_len": txt_len,
             "image_size": image_size,
+            "fixed_batch": (None if symbolic_batch else int(fixed_batch)),
             "quantize": quantize,
+            "tpu_kernels": allow_tpu_kernels,
             "outputs": "class probabilities",
         },
     )
@@ -182,17 +221,23 @@ def export_vilt_predictor(
     pixel_dtype=np.float32,  # processor-normalized floats (uint8 also works)
     symbolic_batch: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    allow_tpu_kernels: bool = False,
+    fixed_batch: int = 1,
 ) -> None:
     """Export a :class:`serving.ViltPredictor`'s forward
     ``(input_ids, attention_mask, token_type_ids, pixel_values,
-    pixel_mask) -> probs``."""
+    pixel_mask) -> probs``. ``allow_tpu_kernels``/``fixed_batch`` as in
+    :func:`export_fusion_predictor`."""
+    if allow_tpu_kernels and symbolic_batch:
+        raise ValueError("allow_tpu_kernels requires symbolic_batch=False")
     size = image_size or predictor.model.config.image_size
+    nb = 1 if symbolic_batch else int(fixed_batch)
     example = [
-        np.zeros((1, txt_len), np.int64),
-        np.ones((1, txt_len), np.int64),
-        np.zeros((1, txt_len), np.int64),
-        np.zeros((1, size, size, 3), pixel_dtype),
-        np.ones((1, size, size), np.int64),
+        np.zeros((nb, txt_len), np.int64),
+        np.ones((nb, txt_len), np.int64),
+        np.zeros((nb, txt_len), np.int64),
+        np.zeros((nb, size, size, 3), pixel_dtype),
+        np.ones((nb, size, size), np.int64),
     ]
     if symbolic_batch:
         specs = symbolic_batch_specs(example)
@@ -223,12 +268,15 @@ def export_vilt_predictor(
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
+        allow_tpu_kernels=allow_tpu_kernels,
         meta={
             "family": "vilt",
             "temperature": temperature,
             "txt_len": txt_len,
             "image_size": size,
+            "fixed_batch": (None if symbolic_batch else int(fixed_batch)),
             "quantize": quantize,
+            "tpu_kernels": allow_tpu_kernels,
             "outputs": "class probabilities",
         },
     )
@@ -249,15 +297,21 @@ def fusion_artifact_micro_batcher(
 
     li = int(loaded.meta["img_len"])
     lt = int(loaded.meta["txt_len"])
+    fixed_b = loaded.meta.get("fixed_batch")
+    if fixed_b is not None:
+        max_batch = min(max_batch, int(fixed_b))
 
     def predict_batch(samples):
         n = len(samples)
+        # fixed-batch (kernel-path) artifacts run at exactly the baked
+        # size; pad the coalesced batch up to it and slice the result
+        nb = int(fixed_b) if fixed_b is not None else n
         d_img = samples[0][0].shape[-1]
         d_txt = samples[0][1].shape[-1]  # may differ (text_hidden_size)
-        img = np.zeros((n, li, d_img), np.float32)
-        txt = np.zeros((n, lt, d_txt), np.float32)
-        im = np.zeros((n, li), bool)
-        tm = np.zeros((n, lt), bool)
+        img = np.zeros((nb, li, d_img), np.float32)
+        txt = np.zeros((nb, lt, d_txt), np.float32)
+        im = np.zeros((nb, li), bool)
+        tm = np.zeros((nb, lt), bool)
         for i, (a, b) in enumerate(samples):
             if a.shape[0] > li or b.shape[0] > lt:
                 raise ValueError(
@@ -287,6 +341,8 @@ def export_fusion_predictor(
     symbolic_batch: bool = True,
     symbolic_lengths: bool = False,
     platforms: Optional[Sequence[str]] = None,
+    allow_tpu_kernels: bool = False,
+    fixed_batch: int = 1,
 ) -> None:
     """Export a :class:`serving.FusionPredictor`'s padded forward
     ``(img, txt, img_mask, txt_mask) -> ensemble-mean probs`` as an
@@ -294,7 +350,19 @@ def export_fusion_predictor(
     callers pad exactly like ``FusionPredictor.predict`` does. With
     ``symbolic_lengths=True`` the sequence dims are ALSO polymorphic
     (``li``/``lt`` symbols; img_len/txt_len become documentation-only
-    meta) — one program for every padding, zero length buckets."""
+    meta) — one program for every padding, zero length buckets.
+
+    ``allow_tpu_kernels=True`` (fixed shapes only) bakes the predictor
+    model's Pallas attention kernels into the artifact — TPU-only, but
+    serves at live-kernel speed (see :func:`save_exported`).
+    ``fixed_batch`` sets the baked batch size when ``symbolic_batch`` is
+    off (callers pad requests up to it, like the live predictors' batch
+    buckets); recorded in meta so artifact servers know the contract."""
+    if allow_tpu_kernels and (symbolic_batch or symbolic_lengths):
+        raise ValueError(
+            "allow_tpu_kernels requires fixed shapes (the Pallas grids "
+            "specialize on concrete batch/sequence blocks)"
+        )
     d_i, d_t = embed_dim, txt_embed_dim or embed_dim
     if symbolic_lengths:
         if not symbolic_batch:
@@ -307,11 +375,12 @@ def export_fusion_predictor(
             jax.ShapeDtypeStruct((b, lt), jnp.bool_),
         ]
     else:
+        nb = 1 if symbolic_batch else int(fixed_batch)
         example = [
-            np.zeros((1, img_len, d_i), np.float32),
-            np.zeros((1, txt_len, d_t), np.float32),
-            np.zeros((1, img_len), bool),
-            np.zeros((1, txt_len), bool),
+            np.zeros((nb, img_len, d_i), np.float32),
+            np.zeros((nb, txt_len, d_t), np.float32),
+            np.zeros((nb, img_len), bool),
+            np.zeros((nb, txt_len), bool),
         ]
         if symbolic_batch:
             specs = symbolic_batch_specs(example)
@@ -340,6 +409,7 @@ def export_fusion_predictor(
 
     save_exported(
         path, fn, predictor.variables, specs, platforms=platforms,
+        allow_tpu_kernels=allow_tpu_kernels,
         meta={
             "family": "flava_fusion",
             "temperature": temperature,
@@ -348,7 +418,9 @@ def export_fusion_predictor(
             "img_dim": d_i,
             "txt_dim": d_t,
             "symbolic_lengths": symbolic_lengths,
+            "fixed_batch": (None if symbolic_batch else int(fixed_batch)),
             "quantize": quantize,
+            "tpu_kernels": allow_tpu_kernels,
             "outputs": "ensemble-mean class probabilities",
         },
     )

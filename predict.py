@@ -32,9 +32,11 @@ def _serve_forever(srv, mb):
         mb.close()
 
 
-def _family_predictor(args, n_classes):
+def _family_predictor(args, n_classes, attn_impl="auto"):
     """Build the MMBT or ViLT predictor from template flags matching the
-    train.py run (the fusion family builds through the main flow below)."""
+    train.py run (the fusion family builds through the main flow below).
+    ``attn_impl="xla"`` for symbolic-batch exports (Pallas grids can't
+    trace symbolic shapes)."""
     import dataclasses as dc
 
     import jax
@@ -63,7 +65,7 @@ def _family_predictor(args, n_classes):
             resnet_layers=resnet_layers,
             num_image_embeds=args.num_image_embeds,
             vocab_size=args.vocab_size, gradient_accumulation_steps=1,
-            seed_key=jax.random.key(0),
+            seed_key=jax.random.key(0), attn_impl=attn_impl,
         )
         variables = {"params": setup.state.params}
         if setup.state.batch_stats is not None:
@@ -89,6 +91,7 @@ def _family_predictor(args, n_classes):
     setup = zoo.setup_vilt(
         n_classes=n_classes, vilt_config=vilt_cfg,
         gradient_accumulation_steps=1, seed_key=jax.random.key(0),
+        attn_impl=attn_impl,
     )
     return ViltPredictor(
         setup.model, args.checkpoint_path,
@@ -138,15 +141,27 @@ def _export_family(args, n_classes):
         export_vilt_predictor,
     )
 
-    pred = _family_predictor(args, n_classes)
+    fixed = args.export_fixed_batch
+    pred = _family_predictor(
+        args, n_classes, attn_impl=("auto" if fixed is not None else "xla")
+    )
+    kern_kw = (
+        {"symbolic_batch": False, "allow_tpu_kernels": True,
+         "fixed_batch": fixed}
+        if fixed is not None else {}
+    )
     if args.framework == "mmbt":
         export_mmbt_predictor(
             pred, args.export, txt_len=args.export_txt_len,
-            image_size=224,
+            image_size=224, **kern_kw,
         )
     else:
-        export_vilt_predictor(pred, args.export, txt_len=args.export_txt_len)
-    print(f"exported {args.framework} AOT artifact to {args.export}")
+        export_vilt_predictor(
+            pred, args.export, txt_len=args.export_txt_len, **kern_kw,
+        )
+    note = (f" (fixed batch {fixed}, Pallas kernels baked, TPU-only)"
+            if fixed is not None else " (symbolic batch)")
+    print(f"exported {args.framework} AOT artifact to {args.export}{note}")
 
 
 def main():
@@ -213,6 +228,13 @@ def main():
                              "(FLAVA's 197 rounded to the pad multiple)")
     parser.add_argument("--export_txt_len", type=int, default=96,
                         help="padded text-token length baked into --export")
+    parser.add_argument("--export_fixed_batch", type=int, default=None,
+                        metavar="B",
+                        help="--export (any family): bake a FIXED batch "
+                             "size and the Pallas attention kernels into "
+                             "the artifact (TPU-only, serves at live-"
+                             "kernel speed; default: symbolic batch, "
+                             "portable XLA-attention program)")
     parser.add_argument("--artifact", default=None, metavar="DIR",
                         help="serve from an AOT artifact written by "
                              "--export: loads NO model code (StableHLO + "
@@ -284,8 +306,11 @@ def main():
         avg_pool=args.avg_pool,
         seed_key=jax.random.key(0),
         # the exported program's symbolic batch dim needs the XLA attention
-        # path (Pallas grids specialize on concrete batch blocks)
-        **({"attn_impl": "xla"} if args.export is not None else {}),
+        # path (Pallas grids specialize on concrete batch blocks); a
+        # fixed-batch export keeps the kernels and bakes them in
+        **({"attn_impl": "xla"}
+           if args.export is not None and args.export_fixed_batch is None
+           else {}),
     )
     predictor = FusionPredictor(
         setup.model,
@@ -299,13 +324,24 @@ def main():
     if args.export is not None:
         from multimodal_uncertainty_tpu.export import export_fusion_predictor
 
-        export_fusion_predictor(
-            predictor, args.export,
-            img_len=args.export_img_len, txt_len=args.export_txt_len,
-        )
+        fixed = args.export_fixed_batch
+        if fixed is not None:
+            export_fusion_predictor(
+                predictor, args.export,
+                img_len=args.export_img_len, txt_len=args.export_txt_len,
+                symbolic_batch=False, allow_tpu_kernels=True,
+                fixed_batch=fixed,
+            )
+            shape_note = f"fixed batch {fixed}, Pallas kernels baked (TPU-only)"
+        else:
+            export_fusion_predictor(
+                predictor, args.export,
+                img_len=args.export_img_len, txt_len=args.export_txt_len,
+            )
+            shape_note = "symbolic batch"
         print(f"exported AOT artifact to {args.export} "
               f"(img_len={args.export_img_len}, txt_len={args.export_txt_len},"
-              f" symbolic batch; load via "
+              f" {shape_note}; load via "
               f"multimodal_uncertainty_tpu.export.load_exported)")
         return
 

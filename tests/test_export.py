@@ -137,6 +137,46 @@ def test_fixed_shape_export(tmp_path):
         loaded(*_padded_inputs(pred, img2, txt2))
 
 
+def test_fixed_batch_kernel_export(tmp_path):
+    """fixed_batch bakes the batch size + allow_tpu_kernels plumbing: the
+    artifact serves padded-up batches via the micro-batcher and records
+    the contract in meta. (On CPU the attention lowers to plain XLA so
+    the disabled-safety-check path is a no-op; on TPU the same call baked
+    in the Mosaic custom call — tools/bench_export.py measures it.)"""
+    from multimodal_uncertainty_tpu.export import (
+        fusion_artifact_micro_batcher,
+    )
+
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact_kern")
+    export_fusion_predictor(
+        pred, art, img_len=8, txt_len=8, embed_dim=D,
+        symbolic_batch=False, allow_tpu_kernels=True, fixed_batch=4,
+    )
+    loaded = load_exported(art)
+    assert loaded.meta["fixed_batch"] == 4
+    assert loaded.meta["tpu_kernels"] is True
+
+    # micro-batcher pads a 2-sample coalesced batch up to the baked 4
+    mb = fusion_artifact_micro_batcher(loaded, max_batch=16, max_wait_ms=5)
+    try:
+        rng = np.random.default_rng(11)
+        s_img = rng.normal(size=(5, D)).astype(np.float32)
+        s_txt = rng.normal(size=(4, D)).astype(np.float32)
+        probs = mb((s_img, s_txt))
+        direct = pred.predict(s_img[None], s_txt[None])[0]
+        np.testing.assert_allclose(probs, direct, atol=1e-5)
+    finally:
+        mb.close()
+
+    # symbolic shapes + kernels is a hard error, not a silent downgrade
+    with pytest.raises(ValueError):
+        export_fusion_predictor(
+            pred, os.path.join(tmp_path, "bad"), img_len=8, txt_len=8,
+            embed_dim=D, allow_tpu_kernels=True,
+        )
+
+
 def test_serve_time_temperature_and_export(tmp_path):
     """Predictor temperature= tempers per-head logits before the head
     average, and --export bakes the same T into the artifact."""
