@@ -32,8 +32,56 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _bucket_for(n: int, buckets: Sequence[int], multiple: int) -> int:
+    """Smallest bucket holding ``n``, rounded up to ``multiple`` (the mesh
+    data-axis size, so sharded batches divide evenly); past the largest
+    bucket, round to the lcm of bucket granularity and ``multiple``."""
+    for b in buckets:
+        if n <= b:
+            return _round_up(b, multiple)
+    top = buckets[-1]
+    lcm = top * multiple // np.gcd(top, multiple)
+    return _round_up(n, lcm)
+
+
+def _mesh_shardings(mesh, tp: bool, variables):
+    """Serving shardings over a device mesh: a variables sharding tree
+    (params megatron-TP-sharded along 'model' when ``tp``, everything else
+    replicated) and the batch sharding for array inputs/outputs.
+
+    Returns ``(var_shardings, batch_sharding, device_variables)`` — the
+    variables are committed to their shardings once here, so per-request
+    dispatch moves only the batch."""
+    from multimodal_uncertainty_tpu.parallel.sharding import (
+        batch_sharding,
+        param_shardings,
+        replicated,
+    )
+
+    repl = replicated(mesh)
+    if tp and mesh.shape.get("model", 1) > 1:
+        var_shardings = {
+            k: (param_shardings(v, mesh) if k == "params"
+                else jax.tree_util.tree_map(lambda _: repl, v))
+            for k, v in variables.items()
+        }
+    else:
+        var_shardings = jax.tree_util.tree_map(lambda _: repl, variables)
+    device_vars = jax.device_put(variables, var_shardings)
+    return var_shardings, batch_sharding(mesh), device_vars
+
+
 class FusionPredictor:
-    """Batched predictor over a FlavaFusionTransformer checkpoint."""
+    """Batched predictor over a FlavaFusionTransformer checkpoint.
+
+    ``mesh`` scales serving across chips: array inputs shard their batch
+    dim over the mesh's 'data' axis (DP), and with ``tp=True`` the
+    transformer weights additionally shard megatron-style over 'model' —
+    the same layout the training path uses, so a v5e-8 serves one
+    coalesced batch across all 8 chips. Batch buckets round up to a
+    multiple of the data-axis size. On TPU meshes pass a model built with
+    ``attn_impl='pallas_sharded'`` (as train.py auto-selects) so the fused
+    kernels partition instead of forcing a gather."""
 
     def __init__(
         self,
@@ -45,6 +93,8 @@ class FusionPredictor:
         batch_buckets: Sequence[int] = (8, 32, 128),
         quantize: Optional[str] = None,  # None | 'int8' | 'int8_weight'
         temperature: float = 1.0,  # analysis.calibration.fit_temperature
+        mesh=None,
+        tp: bool = False,
     ):
         model_sd, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_sd)
@@ -53,8 +103,8 @@ class FusionPredictor:
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
         self.temperature = float(temperature)
+        self.batch_multiple = 1
 
-        @jax.jit
         def _forward(variables, img, txt, img_mask, txt_mask):
             with _quant_ctx(quantize):
                 logits = model.apply(
@@ -67,13 +117,22 @@ class FusionPredictor:
             probs = jax.nn.softmax(logits, axis=-1)
             return probs.mean(axis=1)  # ensemble-mean over heads
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_forward)
+        else:
+            var_sh, batch_sh, self.variables = _mesh_shardings(
+                mesh, tp, self.variables
+            )
+            self.batch_multiple = mesh.shape["data"]
+            self._forward = jax.jit(
+                _forward,
+                in_shardings=(var_sh, batch_sh, batch_sh, batch_sh,
+                              batch_sh),
+                out_shardings=batch_sh,
+            )
 
     def _bucket_batch(self, n: int) -> int:
-        for b in self.batch_buckets:
-            if n <= b:
-                return b
-        return _round_up(n, self.batch_buckets[-1])
+        return _bucket_for(n, self.batch_buckets, self.batch_multiple)
 
     def predict(
         self,
@@ -150,28 +209,37 @@ class ViltPredictor:
     def __init__(self, model, checkpoint_path, *, template_variables,
                  batch_buckets: Sequence[int] = (8, 32),
                  quantize: Optional[str] = None,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0,
+                 mesh=None, tp: bool = False):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
         self.temperature = float(temperature)
+        self.batch_multiple = 1
 
-        @jax.jit
         def _forward(variables, batch):
             with _quant_ctx(quantize):
                 out = model.apply(variables, batch, train=False)
             logits = out.logits.astype(jnp.float32) / self.temperature
             return jax.nn.softmax(logits, axis=-1)
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_forward)
+        else:
+            var_sh, batch_sh, self.variables = _mesh_shardings(
+                mesh, tp, self.variables
+            )
+            self.batch_multiple = mesh.shape["data"]
+            # batch_sh is a pytree PREFIX for the whole batch dict
+            self._forward = jax.jit(
+                _forward, in_shardings=(var_sh, batch_sh),
+                out_shardings=batch_sh,
+            )
 
     def _bucket(self, n: int) -> int:
-        for b in self.batch_buckets:
-            if n <= b:
-                return b
-        return _round_up(n, self.batch_buckets[-1])
+        return _bucket_for(n, self.batch_buckets, self.batch_multiple)
 
     def predict(self, batch: dict, *, ablate: Optional[str] = None):
         n = batch["input_ids"].shape[0]
@@ -227,6 +295,8 @@ class MMBTPredictor:
         batch_buckets: Sequence[int] = (8, 32),
         quantize: Optional[str] = None,
         temperature: float = 1.0,
+        mesh=None,
+        tp: bool = False,
     ):
         model_vars, _ = load_weights(checkpoint_path)
         self.variables = restore_into(template_variables, model_vars)
@@ -234,8 +304,8 @@ class MMBTPredictor:
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
         self.temperature = float(temperature)
+        self.batch_multiple = 1
 
-        @jax.jit
         def _forward(variables, txt, mask, segment, img, keep_mask):
             with _quant_ctx(quantize):
                 logits = model.apply(
@@ -245,13 +315,27 @@ class MMBTPredictor:
             logits = logits.astype(jnp.float32) / self.temperature
             return jax.nn.softmax(logits, axis=-1)
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_forward)
+        else:
+            var_sh, batch_sh, self.variables = _mesh_shardings(
+                mesh, tp, self.variables
+            )
+            self.batch_multiple = mesh.shape["data"]
+            from multimodal_uncertainty_tpu.parallel.sharding import (
+                replicated,
+            )
+
+            # keep_mask is model-derived, identical per row: replicated
+            self._forward = jax.jit(
+                _forward,
+                in_shardings=(var_sh, batch_sh, batch_sh, batch_sh,
+                              batch_sh, replicated(mesh)),
+                out_shardings=batch_sh,
+            )
 
     def _bucket(self, n: int) -> int:
-        for b in self.batch_buckets:
-            if n <= b:
-                return b
-        return _round_up(n, self.batch_buckets[-1])
+        return _bucket_for(n, self.batch_buckets, self.batch_multiple)
 
     def predict(self, txt, mask, segment, img, *,
                 ablate: Optional[str] = None) -> np.ndarray:

@@ -32,6 +32,17 @@ def _serve_forever(srv, mb):
         mb.close()
 
 
+def _serving_mesh(args):
+    """Device mesh for sharded serving, or None for the single-chip path."""
+    dp = getattr(args, "data_parallel", 1)
+    mp = getattr(args, "model_parallel", 1)
+    if dp * mp <= 1:
+        return None
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(dp * mp, model_parallel=mp)
+
+
 def _family_predictor(args, n_classes, attn_impl="auto"):
     """Build the MMBT or ViLT predictor from template flags matching the
     train.py run (the fusion family builds through the main flow below).
@@ -42,6 +53,12 @@ def _family_predictor(args, n_classes, attn_impl="auto"):
     import jax
 
     from multimodal_uncertainty_tpu import zoo
+
+    if attn_impl == "auto" and _serving_mesh(args) is not None:
+        # sharded kernel entry points partition under GSPMD on meshes
+        attn_impl = (
+            "pallas_sharded" if jax.default_backend() == "tpu" else "xla"
+        )
 
     if args.framework == "mmbt":
         from multimodal_uncertainty_tpu.models.bert import BertConfig
@@ -70,10 +87,12 @@ def _family_predictor(args, n_classes, attn_impl="auto"):
         variables = {"params": setup.state.params}
         if setup.state.batch_stats is not None:
             variables["batch_stats"] = setup.state.batch_stats
+        mesh = _serving_mesh(args)
         return MMBTPredictor(
             setup.model, args.checkpoint_path, template_variables=variables,
             batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
             temperature=args.temperature,
+            mesh=mesh, tp=args.model_parallel > 1,
         )
 
     # vilt
@@ -98,6 +117,7 @@ def _family_predictor(args, n_classes, attn_impl="auto"):
         template_variables={"params": setup.state.params},
         batch_buckets=(args.serve_max_batch,), quantize=args.quantize,
         temperature=args.temperature,
+        mesh=_serving_mesh(args), tp=args.model_parallel > 1,
     )
 
 
@@ -202,6 +222,13 @@ def main():
                              "image}; vilt processor dicts")
     parser.add_argument("--serve_max_batch", type=int, default=32)
     parser.add_argument("--serve_max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="serve over a device mesh: shard each "
+                             "coalesced batch across this many chips")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="serve with megatron tensor-parallel weights "
+                             "over this many chips (composes with "
+                             "--data_parallel; data*model <= chip count)")
     parser.add_argument("--framework", default="flava",
                         choices=["flava", "mmbt", "vilt"],
                         help="model family (mmbt/vilt: --serve/--export "
@@ -297,6 +324,20 @@ def main():
             _serve_family(args, n_classes)
         return
 
+    mesh = _serving_mesh(args)
+    if args.export is not None and args.export_fixed_batch is None:
+        # the exported program's symbolic batch dim needs the XLA attention
+        # path (Pallas grids specialize on concrete batch blocks); a
+        # fixed-batch export keeps the kernels and bakes them in
+        attn_kw = {"attn_impl": "xla"}
+    elif mesh is not None:
+        # mesh serving: the sharded kernel entry points partition under
+        # GSPMD (train.py makes the same selection for training meshes)
+        attn_kw = {"attn_impl": (
+            "pallas_sharded" if jax.default_backend() == "tpu" else "xla"
+        )}
+    else:
+        attn_kw = {}
     setup = setup_flava(
         model_type=args.model_type,
         n_classes=n_classes,
@@ -305,12 +346,7 @@ def main():
         clstoken=args.clstoken,
         avg_pool=args.avg_pool,
         seed_key=jax.random.key(0),
-        # the exported program's symbolic batch dim needs the XLA attention
-        # path (Pallas grids specialize on concrete batch blocks); a
-        # fixed-batch export keeps the kernels and bakes them in
-        **({"attn_impl": "xla"}
-           if args.export is not None and args.export_fixed_batch is None
-           else {}),
+        **attn_kw,
     )
     predictor = FusionPredictor(
         setup.model,
@@ -319,6 +355,8 @@ def main():
         batch_buckets=(args.batch_size,),
         quantize=args.quantize,
         temperature=args.temperature,
+        mesh=mesh,
+        tp=args.model_parallel > 1,
     )
 
     if args.export is not None:

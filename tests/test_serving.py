@@ -582,3 +582,139 @@ def test_vilt_micro_batcher_uncertainty(tmp_path):
         np.testing.assert_allclose(probs, ref_probs[i], atol=1e-5)
         for k in diag:
             np.testing.assert_allclose(diag[k], ref_diag[k][i], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded serving (multi-chip DP / DPxTP on the virtual CPU mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_fusion_predictor_on_dp_mesh_matches_single_device(tmp_path):
+    """mesh=: batch shards over 'data'; probs == the single-device path,
+    including an odd request size that pads up to a data-divisible bucket."""
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    single = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16),
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4, 16), mesh=mesh,
+    )
+    assert sharded.batch_multiple == 8
+    rng = np.random.default_rng(3)
+    for n in (2, 5, 17):  # bucket 4 -> 8; 16; 17 -> lcm(16,8) rounding
+        img = rng.normal(size=(n, 5, D)).astype(np.float32)
+        txt = rng.normal(size=(n, 4, D)).astype(np.float32)
+        np.testing.assert_allclose(
+            sharded.predict(img, txt), single.predict(img, txt), atol=1e-5
+        )
+    # ablation path rides the same sharded forward
+    img = rng.normal(size=(3, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(3, 4, D)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.predict(img, txt, ablate="image"),
+        single.predict(img, txt, ablate="image"), atol=1e-5,
+    )
+
+
+def test_fusion_predictor_dp_tp_mesh_shards_weights(tmp_path):
+    """tp=True on a (4,2) mesh: megatron-sharded weights, same probs; at
+    least one kernel must actually live sharded across 'model'."""
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    single = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,),
+    )
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,), mesh=mesh, tp=True,
+    )
+    sharded_leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(sharded.variables)
+        if hasattr(leaf, "sharding")
+        and any(ax == "model" for spec in [leaf.sharding.spec]
+                for ax in spec if ax is not None)
+    ]
+    assert sharded_leaves, "tp=True sharded no weight over 'model'"
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(3, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(3, 4, D)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.predict(img, txt), single.predict(img, txt), atol=1e-5
+    )
+
+
+def test_mmbt_predictor_on_dp_mesh_matches_single_device(tmp_path):
+    """MMBT (BatchNorm stats + keep-mask ablations) serves on a DP mesh."""
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+    from multimodal_uncertainty_tpu.serving import MMBTPredictor
+
+    model, variables, ckpt = _make_mmbt_ckpt(tmp_path)
+    single = MMBTPredictor(model, ckpt, template_variables=variables,
+                           batch_buckets=(4,))
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = MMBTPredictor(model, ckpt, template_variables=variables,
+                            batch_buckets=(4,), mesh=mesh)
+    rng = np.random.default_rng(5)
+    n, lt = 3, 6
+    txt = rng.integers(0, 120, size=(n, lt)).astype(np.int32)
+    mask = np.ones((n, lt), np.int32)
+    seg = np.ones((n, lt), np.int32)
+    img = rng.normal(size=(n, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.predict(txt, mask, seg, img),
+        single.predict(txt, mask, seg, img), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        sharded.predict(txt, mask, seg, img, ablate="text"),
+        single.predict(txt, mask, seg, img, ablate="text"), atol=1e-5,
+    )
+
+
+def test_vilt_predictor_on_dp_mesh_matches_single_device(tmp_path):
+    """ViLT's dict batch shards via the prefix sharding on a DP mesh."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+    from multimodal_uncertainty_tpu.serving import ViltPredictor
+
+    cfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64, image_size=64,
+        num_labels=3,
+    )
+    model = ViltForImagesAndTextClassification(config=cfg, attn_impl="xla")
+    rng = np.random.default_rng(6)
+    n, lt = 3, 7
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(n, lt)).astype(np.int64),
+        "attention_mask": np.ones((n, lt), np.int64),
+        "token_type_ids": np.zeros((n, lt), np.int64),
+        "pixel_values": rng.normal(size=(n, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.key(0)}, jb, train=False)
+    ckpt = os.path.join(tmp_path, "vilt_best.pt")
+    save_weights(variables, None, ckpt)
+
+    single = ViltPredictor(model, ckpt, template_variables=variables,
+                           batch_buckets=(4,))
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = ViltPredictor(model, ckpt, template_variables=variables,
+                            batch_buckets=(4,), mesh=mesh)
+    np.testing.assert_allclose(
+        sharded.predict(batch), single.predict(batch), atol=1e-5
+    )
