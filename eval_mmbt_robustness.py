@@ -41,6 +41,9 @@ def get_args(parser):
     parser.add_argument("--sample_size", type=int, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="shrunken backbones for smoke tests")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each sweep batch over this many chips "
+                             "(weights replicated; ~Nx variant-samples/s)")
 
 
 def main():
@@ -86,6 +89,11 @@ def main():
         )
         resnet_layers = (3, 8, 36, 3)
 
+    mesh = None
+    if args.data_parallel > 1:
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
     setup = setup_mmbt(
         n_classes=n_classes,
         num_image_embeds=args.num_image_embeds,
@@ -95,6 +103,8 @@ def main():
         gradient_accumulation_steps=1,
         vocab_size=vocab.vocab_sz,
         seed_key=jax.random.key(args.seed),
+        **({"attn_impl": "pallas_sharded"}
+           if mesh is not None and jax.default_backend() == "tpu" else {}),
     )
     state = resume_train_state(setup.state, args.checkpoint_path)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -110,6 +120,7 @@ def main():
         save_path=args.save_path,
         checkpoint_name=ckpt_name,
         phase=args.phase,
+        mesh=mesh,
     )
     s, m, c = preds.shape
     print(

@@ -30,6 +30,9 @@ def get_args(parser):
                         choices=["food101", "hateful-meme-dataset"],
                         default="hateful-meme-dataset")
     parser.add_argument("--sample_size", type=int, default=None)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each sweep batch over this many chips "
+                             "(weights replicated; ~Nx variant-samples/s)")
 
 
 def main():
@@ -67,12 +70,20 @@ def main():
     # *_dev.npy artifacts); accept 'val' as an alias for the same split
     data = {"train": train, "val": val, "dev": val, "test": test}
 
+    mesh = None
+    if args.data_parallel > 1:
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
     setup = setup_flava(
         model_type=args.model_type,
         n_classes=n_classes,
         multimodal_num_attention_heads=args.multimodal_num_attention_heads,
         multimodal_num_hidden_layers=args.multimodal_num_hidden_layers,
         seed_key=jax.random.key(args.seed),
+        # sharded kernel entry points partition under GSPMD on meshes
+        **({"attn_impl": "pallas_sharded"}
+           if mesh is not None and jax.default_backend() == "tpu" else {}),
     )
     state = resume_train_state(setup.state, args.checkpoint_path)
     variables = {"params": state.params}
@@ -94,6 +105,7 @@ def main():
         save_path=args.save_path,
         checkpoint_name=ckpt_name,
         phase=args.phase,
+        mesh=mesh,
     )
     s, m, k, c = preds.shape
     print(

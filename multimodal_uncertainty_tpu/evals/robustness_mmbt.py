@@ -62,8 +62,23 @@ def mmbt_robustness_sweep(
     checkpoint_name: str = "model",
     phase: str = "val",
     variant_chunk: int = 8,
+    mesh=None,
 ):
+    """``mesh`` runs the sweep data-parallel across chips (see
+    robustness_transformer.py — same placement rules)."""
     rng = np.random.default_rng(seed)
+    put_batch = None
+    if mesh is not None:
+        from multimodal_uncertainty_tpu.parallel.sharding import (
+            put_batch_fn,
+            replicated,
+        )
+
+        put_batch = put_batch_fn(mesh)
+        repl = replicated(mesh)
+        variables = jax.device_put(
+            variables, jax.tree_util.tree_map(lambda _: repl, variables)
+        )
 
     # variables as a jit argument: one compile across checkpoints, no
     # weights-as-constants in the executable (see robustness_transformer.py)
@@ -97,11 +112,12 @@ def mmbt_robustness_sweep(
     for x, y in loader:
         txt_len = x[0].shape[1]
         masks = build_mmbt_variant_masks(rng, txt_len, num_image_embeds, n_repeats)
-        out = fwd_variants(
-            variables,
-            jax.tree_util.tree_map(jnp.asarray, tuple(x)),
-            jnp.asarray(masks),
-        )
+        jx = jax.tree_util.tree_map(jnp.asarray, tuple(x))
+        jm = jnp.asarray(masks)
+        if put_batch is not None:
+            jx = put_batch(jx)
+            jm = jax.device_put(jm, repl)
+        out = fwd_variants(variables, jx, jm)
         preds.append(np.asarray(out))
         labels.append(np.asarray(y).reshape(-1))
 

@@ -74,10 +74,29 @@ def transformer_robustness_sweep(
     checkpoint_name: str = "model",
     phase: str = "val",
     variant_chunk: int = 16,
+    mesh=None,
 ):
     """Returns (preds (S, V, E, C), labels (S,)); optionally saves
-    ``robustness_{ckpt}_predictions_{phase}.npy`` (+labels)."""
+    ``robustness_{ckpt}_predictions_{phase}.npy`` (+labels).
+
+    ``mesh`` runs the sweep data-parallel across chips: each batch shards
+    over the mesh's 'data' axis (weights/masks replicated), so a v5e-8
+    sweeps ~8x the variant-samples/sec. Batches that don't divide the
+    data axis (the loader's final remainder) place replicated — exact,
+    just un-sped for that batch."""
     rng = np.random.default_rng(seed)
+    put_batch = None
+    if mesh is not None:
+        from multimodal_uncertainty_tpu.parallel.sharding import (
+            put_batch_fn,
+            replicated,
+        )
+
+        put_batch = put_batch_fn(mesh)
+        repl = replicated(mesh)
+        variables = jax.device_put(
+            variables, jax.tree_util.tree_map(lambda _: repl, variables)
+        )
 
     # variables is a jit ARGUMENT (not a closure constant): one compilation
     # serves every checkpoint (tools/epochwise_robustness.py sweeps many),
@@ -121,13 +140,12 @@ def transformer_robustness_sweep(
         l_img, l_txt = img.shape[1], txt.shape[1]
         # fresh random controls per batch, like the reference's in-loop sampling
         img_masks, txt_masks = build_variant_masks(rng, l_img, l_txt, n_repeats)
-        out = fwd_variants(
-            variables,
-            jnp.asarray(img),
-            jnp.asarray(txt),
-            jnp.asarray(img_masks),
-            jnp.asarray(txt_masks),
-        )
+        jimg, jtxt = jnp.asarray(img), jnp.asarray(txt)
+        jim, jtm = jnp.asarray(img_masks), jnp.asarray(txt_masks)
+        if put_batch is not None:
+            jimg, jtxt = put_batch((jimg, jtxt))
+            jim, jtm = jax.device_put((jim, jtm), repl)
+        out = fwd_variants(variables, jimg, jtxt, jim, jtm)
         preds.append(np.asarray(out))
         labels.append(np.asarray(y).reshape(-1))
 

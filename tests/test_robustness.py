@@ -224,3 +224,99 @@ def test_fusion_remat_identical_loss_and_grads():
     for a, b in zip(jax.tree_util.tree_leaves(grads[True]),
                     jax.tree_util.tree_leaves(grads[False])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transformer_sweep_on_dp_mesh_matches_single_device():
+    """mesh=: the sweep batch shards over 'data'; outputs identical to the
+    single-device sweep (same seed -> same control masks), including a
+    final batch that does not divide the data axis (placed replicated)."""
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    model, variables, img, txt = _model_and_vars()
+    y = np.arange(B) % 3
+    # batch 2: B rows (divides 8 iff B does) + a 3-row remainder batch
+    loader = [
+        ((np.asarray(img), np.asarray(txt)), y),
+        ((np.asarray(img)[:3], np.asarray(txt)[:3]), y[:3]),
+    ]
+
+    def apply_fn(variables, x, *, train, rngs, img_mask=None, txt_mask=None):
+        return (
+            model.apply(
+                variables, x, train=train, img_mask=img_mask, txt_mask=txt_mask
+            ),
+            {},
+        )
+
+    single = transformer_robustness_sweep(
+        apply_fn, variables, loader, n_repeats=2, seed=0
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = transformer_robustness_sweep(
+        apply_fn, variables, loader, n_repeats=2, seed=0, mesh=mesh
+    )
+    np.testing.assert_allclose(sharded[0], single[0], atol=1e-5)
+    np.testing.assert_array_equal(sharded[1], single[1])
+
+
+def test_mmbt_sweep_columns_and_dp_mesh():
+    """MMBT sweep: (S, V, C) layout, column 1/2 == the encoder's own
+    img-only/txt-only keep-masks, and mesh= matches single-device."""
+    from multimodal_uncertainty_tpu.evals.robustness_mmbt import (
+        mmbt_robustness_sweep,
+    )
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import (
+        MultimodalBertClf,
+        MultimodalBertEncoder,
+    )
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    n_img = 3
+    model = MultimodalBertClf(config=cfg, n_classes=4, num_image_embeds=n_img,
+                              resnet_layers=(1, 1, 1, 1), attn_impl="xla")
+    rng = np.random.default_rng(0)
+    b, lt = 5, 6
+    x = (rng.integers(0, 120, size=(b, lt)).astype(np.int32),
+         np.ones((b, lt), np.int32), np.ones((b, lt), np.int32),
+         rng.normal(size=(b, 64, 64, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jax.tree_util.tree_map(jnp.asarray, x), train=False,
+    )
+    y = np.arange(b) % 4
+    loader = [(x, y)]
+
+    def apply_fn(v, xx, *, train, rngs, seq_keep_mask=None):
+        return (
+            model.apply(v, xx, train=train, seq_keep_mask=seq_keep_mask),
+            {},
+        )
+
+    preds, labels = mmbt_robustness_sweep(
+        apply_fn, variables, loader, num_image_embeds=n_img, n_repeats=2,
+        seed=0,
+    )
+    assert preds.shape == (b, 3 + 2 * 2, 4)
+    assert (labels == y).all()
+
+    helper = MultimodalBertEncoder(cfg, n_img)
+    jx = jax.tree_util.tree_map(jnp.asarray, x)
+    img_only = np.asarray(model.apply(
+        variables, jx, train=False, seq_keep_mask=helper.img_only_mask(b, lt)
+    ))
+    txt_only = np.asarray(model.apply(
+        variables, jx, train=False, seq_keep_mask=helper.txt_only_mask(b, lt)
+    ))
+    np.testing.assert_allclose(preds[:, 1], img_only, atol=1e-4)
+    np.testing.assert_allclose(preds[:, 2], txt_only, atol=1e-4)
+
+    mesh = make_mesh(8, model_parallel=1)
+    sharded, _ = mmbt_robustness_sweep(
+        apply_fn, variables, loader, num_image_embeds=n_img, n_repeats=2,
+        seed=0, mesh=mesh,
+    )
+    np.testing.assert_allclose(sharded, preds, atol=1e-5)
