@@ -33,10 +33,24 @@ BASELINE_B = 64
 CACHED_BASELINE_SPS = 0.95
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: measured on this axon backend, a
+    cached program loads in ~2s where the remote compile takes minutes —
+    so repeat bench runs (and the driver's) skip the compile wall. Off via
+    MMU_COMPILE_CACHE="". Measurement-neutral: only warmup is affected."""
+    import jax
+
+    cc = os.environ.get("MMU_COMPILE_CACHE", "/tmp/mmu_compile_cache")
+    if cc:
+        jax.config.update("jax_compilation_cache_dir", cc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def bench_tpu(fast_dw=None) -> float:
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     from multimodal_uncertainty_tpu.zoo import setup_flava
 
     if fast_dw is None:
@@ -462,6 +476,7 @@ def _ratio_fields(sps, baseline_sps):
 
 
 def main_end2end():
+    _enable_compile_cache()
     path = _arg_after("--end2end", "flava") or "flava"
     if path.startswith("--"):
         path = "flava"
@@ -490,6 +505,7 @@ def main_end2end():
 
 
 def main():
+    _enable_compile_cache()
     if "--end2end" in sys.argv:
         main_end2end()
         return

@@ -308,6 +308,29 @@ def test_export_mmbt_predictor(tmp_path):
             probs, pred.predict(txt, mask, seg, img), atol=1e-5
         )
 
+    # fixed-batch kernel-path plumbing (mirrors the fusion variant)
+    art_k = os.path.join(tmp_path, "mmbt_artifact_kern")
+    export_mmbt_predictor(
+        pred, art_k, txt_len=lt, image_size=64,
+        symbolic_batch=False, allow_tpu_kernels=True, fixed_batch=2,
+    )
+    loaded_k = load_exported(art_k)
+    assert loaded_k.meta["fixed_batch"] == 2
+    assert loaded_k.meta["tpu_kernels"] is True
+    txt = rng.integers(0, 120, size=(2, lt)).astype(np.int32)
+    mask = np.ones((2, lt), np.int32)
+    seg = np.ones((2, lt), np.int32)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        loaded_k(txt, mask, seg, img),
+        pred.predict(txt, mask, seg, img), atol=1e-5,
+    )
+    with pytest.raises(ValueError):
+        export_mmbt_predictor(
+            pred, os.path.join(tmp_path, "bad"), txt_len=lt, image_size=64,
+            allow_tpu_kernels=True,
+        )
+
 
 def test_export_vilt_predictor(tmp_path):
     import dataclasses
