@@ -330,6 +330,113 @@ def fusion_artifact_micro_batcher(
     )
 
 
+def mmbt_artifact_micro_batcher(
+    loaded: ExportedPredictor, *, max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+):
+    """MicroBatcher over a LOADED mmbt artifact — model-code-free serving
+    with the same per-sample convention as ``serving.mmbt_micro_batcher``
+    (``(token_ids, segment, image)``). Text pads to the artifact's baked
+    txt_len (longer samples rejected); fixed-batch artifacts pad the
+    coalesced batch up to the baked size."""
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    lt = int(loaded.meta["txt_len"])
+    size = int(loaded.meta["image_size"])
+    fixed_b = loaded.meta.get("fixed_batch")
+    if fixed_b is not None:
+        max_batch = min(max_batch, int(fixed_b))
+
+    def predict_batch(samples):
+        n = len(samples)
+        nb = int(fixed_b) if fixed_b is not None else n
+        txt = np.zeros((nb, lt), np.int32)
+        seg = np.zeros((nb, lt), np.int32)
+        mask = np.zeros((nb, lt), np.int32)
+        img = np.zeros((nb, size, size, 3), np.float32)
+        for i, (ids, segment, image) in enumerate(samples):
+            if len(ids) > lt:
+                raise ValueError(
+                    f"sample text length {len(ids)} exceeds the artifact's "
+                    f"baked txt_len {lt}"
+                )
+            if image.shape[:2] != (size, size):
+                raise ValueError(
+                    f"image {image.shape[:2]} != baked size ({size},{size})"
+                )
+            txt[i, : len(ids)] = ids
+            seg[i, : len(ids)] = segment
+            mask[i, : len(ids)] = 1
+            img[i] = image
+        probs = loaded(txt, mask, seg, img)
+        return [probs[i] for i in range(n)]
+
+    return MicroBatcher(
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+
+
+def vilt_artifact_micro_batcher(
+    loaded: ExportedPredictor, *, max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+):
+    """MicroBatcher over a LOADED vilt artifact (per-sample processor
+    dicts as in ``serving.vilt_micro_batcher``)."""
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    lt = int(loaded.meta["txt_len"])
+    size = int(loaded.meta["image_size"])
+    fixed_b = loaded.meta.get("fixed_batch")
+    if fixed_b is not None:
+        max_batch = min(max_batch, int(fixed_b))
+
+    def predict_batch(samples):
+        n = len(samples)
+        nb = int(fixed_b) if fixed_b is not None else n
+        ids = np.zeros((nb, lt), np.int64)
+        am = np.zeros((nb, lt), np.int64)
+        tt = np.zeros((nb, lt), np.int64)
+        pv = np.zeros((nb, size, size, 3), np.float32)
+        pm = np.zeros((nb, size, size), np.int64)
+        for i, s in enumerate(samples):
+            l = len(s["input_ids"])
+            if l > lt:
+                raise ValueError(
+                    f"sample text length {l} exceeds the artifact's baked "
+                    f"txt_len {lt}"
+                )
+            ids[i, :l] = s["input_ids"]
+            am[i, :l] = s.get("attention_mask", np.ones(l, np.int64))
+            tt[i, :l] = s.get("token_type_ids", np.zeros(l, np.int64))
+            img = np.asarray(s["pixel_values"])
+            if img.shape[:2] != (size, size):
+                raise ValueError(
+                    f"pixels {img.shape[:2]} != baked size ({size},{size})"
+                )
+            pv[i] = img
+            pm[i] = np.asarray(
+                s.get("pixel_mask", np.ones((size, size), np.int64))
+            )
+        probs = loaded(ids, am, tt, pv, pm)
+        return [probs[i] for i in range(n)]
+
+    return MicroBatcher(
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+
+
+def artifact_micro_batcher(loaded: ExportedPredictor, **kw):
+    """Family-dispatched batcher over any loaded artifact (meta.family)."""
+    family = loaded.meta.get("family")
+    if family == "flava_fusion":
+        return fusion_artifact_micro_batcher(loaded, **kw)
+    if family == "mmbt":
+        return mmbt_artifact_micro_batcher(loaded, **kw)
+    if family == "vilt":
+        return vilt_artifact_micro_batcher(loaded, **kw)
+    raise ValueError(f"unknown artifact family: {family!r}")
+
+
 def export_fusion_predictor(
     predictor,
     path: str,

@@ -276,20 +276,27 @@ def main():
         if args.serve is None:
             raise SystemExit("--artifact requires --serve PORT")
         from multimodal_uncertainty_tpu.export import (
-            fusion_artifact_micro_batcher,
+            artifact_micro_batcher,
             load_exported,
         )
         from multimodal_uncertainty_tpu.server import (
             PredictionServer,
             fusion_request,
+            mmbt_request,
+            vilt_request,
         )
 
         loaded = load_exported(args.artifact)
-        mb = fusion_artifact_micro_batcher(
+        decode = {
+            "flava_fusion": fusion_request,
+            "mmbt": mmbt_request,
+            "vilt": vilt_request,
+        }[loaded.meta.get("family", "flava_fusion")]
+        mb = artifact_micro_batcher(
             loaded, max_batch=args.serve_max_batch,
             max_wait_ms=args.serve_max_wait_ms,
         )
-        srv = PredictionServer(mb, fusion_request, port=args.serve).start()
+        srv = PredictionServer(mb, decode, port=args.serve).start()
         _serve_forever(srv, mb)
         return
     if args.checkpoint_path is None:

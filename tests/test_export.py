@@ -402,3 +402,103 @@ def test_save_exported_generic_fn(tmp_path):
     np.testing.assert_allclose(loaded(x), x * 2.0)
     assert loaded.meta["k"] == "v"
     assert loaded.meta["jax_version"] == jax.__version__
+
+
+def test_artifact_micro_batchers_all_families(tmp_path):
+    """artifact_micro_batcher dispatches on meta.family; mmbt and vilt
+    artifacts serve model-code-free with results == the live predictors
+    (text padded to the baked txt_len; over-length/misfit rejected)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.export import (
+        artifact_micro_batcher,
+        export_mmbt_predictor,
+        export_vilt_predictor,
+    )
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertClf
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import MMBTPredictor, ViltPredictor
+
+    rng = np.random.default_rng(0)
+
+    # --- mmbt ---
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = MultimodalBertClf(config=cfg, n_classes=4, num_image_embeds=3,
+                              resnet_layers=(1, 1, 1, 1), attn_impl="xla")
+    b, lt = 2, 8
+    x = (jnp.asarray(rng.integers(0, 120, size=(b, lt))),
+         jnp.ones((b, lt), jnp.int32), jnp.ones((b, lt), jnp.int32),
+         jnp.asarray(rng.normal(size=(b, 64, 64, 3)).astype(np.float32)))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    ckpt = os.path.join(tmp_path, "m.pt")
+    save_weights(variables, None, ckpt)
+    pred = MMBTPredictor(model, ckpt, template_variables=variables,
+                         batch_buckets=(4,))
+    art = os.path.join(tmp_path, "m_art")
+    export_mmbt_predictor(pred, art, txt_len=lt, image_size=64)
+    mb = artifact_micro_batcher(load_exported(art), max_batch=8)
+    try:
+        ids = rng.integers(0, 120, size=5).astype(np.int64)
+        seg = np.ones(5, np.int64)
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        got = mb((ids, seg, img))
+        # live predictor with the same padded-to-lt text
+        txt_p = np.zeros((1, lt), np.int64); txt_p[0, :5] = ids
+        m_p = np.zeros((1, lt), np.int64); m_p[0, :5] = 1
+        s_p = np.zeros((1, lt), np.int64); s_p[0, :5] = 1
+        direct = pred.predict(txt_p * m_p, m_p, s_p, img[None])[0]
+        np.testing.assert_allclose(got, direct, atol=1e-5)
+        with pytest.raises(ValueError):
+            mb((rng.integers(0, 120, size=lt + 1), np.ones(lt + 1), img))
+    finally:
+        mb.close()
+
+    # --- vilt ---
+    vcfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        image_size=64, num_labels=3,
+    )
+    vmodel = ViltForImagesAndTextClassification(config=vcfg, attn_impl="xla")
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(2, lt)).astype(np.int64),
+        "attention_mask": np.ones((2, lt), np.int64),
+        "token_type_ids": np.zeros((2, lt), np.int64),
+        "pixel_values": rng.normal(size=(2, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    vvars = vmodel.init({"params": jax.random.key(1)}, jb, train=False)
+    vckpt = os.path.join(tmp_path, "v.pt")
+    save_weights(vvars, None, vckpt)
+    vpred = ViltPredictor(vmodel, vckpt, template_variables=vvars,
+                          batch_buckets=(4,))
+    vart = os.path.join(tmp_path, "v_art")
+    export_vilt_predictor(vpred, vart, txt_len=lt)
+    vmb = artifact_micro_batcher(load_exported(vart), max_batch=8)
+    try:
+        sample = {
+            "input_ids": batch["input_ids"][0],
+            "attention_mask": batch["attention_mask"][0],
+            "token_type_ids": batch["token_type_ids"][0],
+            "pixel_values": batch["pixel_values"][0],
+        }
+        got = vmb(sample)
+        direct = vpred.predict(
+            {k: v[:1] for k, v in batch.items()}
+        )[0]
+        np.testing.assert_allclose(got, direct, atol=1e-5)
+    finally:
+        vmb.close()
+
+    with pytest.raises(ValueError):
+        artifact_micro_batcher(
+            type("L", (), {"meta": {"family": "nope"}})()
+        )
