@@ -718,3 +718,27 @@ def test_vilt_predictor_on_dp_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         sharded.predict(batch), single.predict(batch), atol=1e-5
     )
+
+
+def test_fusion_predictor_int8_on_mesh_matches_single_device(tmp_path):
+    """Production config: int8 dynamic quantization + DP mesh — results
+    equal the single-device int8 predictor (quant context traces inside
+    the sharded forward)."""
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    model, variables, ckpt = _make_ckpt(tmp_path)
+    single = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,), quantize="int8",
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = FusionPredictor(
+        model, ckpt, template_variables=variables, pad_multiple=8,
+        batch_buckets=(4,), quantize="int8", mesh=mesh,
+    )
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(3, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(3, 4, D)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.predict(img, txt), single.predict(img, txt), atol=1e-5
+    )

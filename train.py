@@ -151,10 +151,12 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     # multi-HOST (one process per host; parallel/multihost.py). On TPU pods
     # all three are discovered from the environment — pass --num_processes 0
     # to trigger auto-init; on CPU fleets pass them explicitly.
-    parser.add_argument("--compile_cache", type=str, default=None,
+    parser.add_argument("--compile_cache", type=str,
+                        default=os.environ.get("MMU_COMPILE_CACHE") or None,
                         help="persistent XLA compilation-cache directory "
                              "(jax_compilation_cache_dir): restarts and "
-                             "preemption resumes skip recompilation")
+                             "preemption resumes skip recompilation; "
+                             "defaults from $MMU_COMPILE_CACHE")
     parser.add_argument("--coordinator_address", type=str, default=None,
                         help="host:port of process 0 (jax.distributed)")
     parser.add_argument("--num_processes", type=int, default=1,
