@@ -85,12 +85,19 @@ def bench_tpu(fast_dw=None) -> float:
     # depends on the whole chain is the only honest barrier.
     float(logs["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, logs = train_step(state, (img, txt), y, jax.random.key(100 + i), None)
-    float(logs["loss"])  # barrier: depends on all MEASURE_STEPS steps
-    dt = time.perf_counter() - t0
-    return B * MEASURE_STEPS / dt
+    # Median of 3 chained windows: a tunnel RPC stall inside one window
+    # deflates that window only — the median is the honest steady-state
+    # rate (wall-clock on this link swings run to run; BASELINE.md notes).
+    rates = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(MEASURE_STEPS):
+            state, logs = train_step(
+                state, (img, txt), y, jax.random.key(100 + 50 * w + i), None
+            )
+        float(logs["loss"])  # barrier: depends on the whole window's chain
+        rates.append(B * MEASURE_STEPS / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def bench_torch_cpu_baseline() -> float:
