@@ -52,6 +52,17 @@ python predict.py \
   > unitest/out/export_flava.txt 2> unitest/error/export_flava.txt
 test -f /tmp/mmu_unitest/$name/artifact/fn.stablehlo
 
+# fixed-batch kernel-path export (CPU: plumbing only — the Pallas bake is
+# a TPU no-op here; meta must record the contract)
+python predict.py \
+  --checkpoint_path /tmp/mmu_unitest/$name/model_best_val.pt \
+  --dataset food101 --model_type MultiHead \
+  --export /tmp/mmu_unitest/$name/artifact_fixed --export_txt_len 64 \
+  --export_fixed_batch 4 \
+  > unitest/out/export_flava_fixed.txt 2> unitest/error/export_flava_fixed.txt
+test -f /tmp/mmu_unitest/$name/artifact_fixed/fn.stablehlo
+grep -q '"fixed_batch": 4' /tmp/mmu_unitest/$name/artifact_fixed/meta.json
+
 # (temperature-scaling calibration is smoked in unitest/fashionmnist.sh
 # on the eval_prediction_saving dumps)
 echo "flava smoke matrix OK"
