@@ -158,21 +158,31 @@ def export_mmbt_predictor(
     platforms: Optional[Sequence[str]] = None,
     allow_tpu_kernels: bool = False,
     fixed_batch: int = 1,
+    with_ablations: bool = False,
 ) -> None:
     """Export a :class:`serving.MMBTPredictor`'s full-input forward
-    ``(txt_ids, mask, segment, img) -> probs``. Ablation keep-masks are a
-    live-predictor feature; the artifact serves the full multimodal path.
+    ``(txt_ids, mask, segment, img) -> probs``.
     ``allow_tpu_kernels``/``fixed_batch`` as in
-    :func:`export_fusion_predictor` (fixed-shape kernel-path artifact)."""
+    :func:`export_fusion_predictor` (fixed-shape kernel-path artifact).
+
+    ``with_ablations=True`` adds a boolean ``keep_mask`` input over the
+    concatenated image+text sequence (the encoder's ``seq_keep_mask``),
+    so the artifact can run the image-only / text-only uncertainty
+    ablations model-code-free (pass all-True for the full forward);
+    meta records ``ablations`` + ``num_image_embeds`` so the artifact
+    micro-batcher can build the masks itself."""
     if allow_tpu_kernels and symbolic_batch:
         raise ValueError("allow_tpu_kernels requires symbolic_batch=False")
     nb = 1 if symbolic_batch else int(fixed_batch)
+    n_img_tok = int(predictor.model.num_image_embeds) + 2
     example = [
         np.zeros((nb, txt_len), np.int32),
         np.ones((nb, txt_len), np.int32),
         np.ones((nb, txt_len), np.int32),
         np.zeros((nb, image_size, image_size, 3), np.float32),
     ]
+    if with_ablations:
+        example.append(np.ones((nb, n_img_tok + txt_len), bool))
     if symbolic_batch:
         specs = symbolic_batch_specs(example)
     else:
@@ -184,13 +194,13 @@ def export_mmbt_predictor(
     quantize = predictor.quantize
     temperature = float(getattr(predictor, "temperature", 1.0))
 
-    def fn(variables, txt, mask, segment, img):
+    def fn(variables, txt, mask, segment, img, *keep):
         from multimodal_uncertainty_tpu.serving import _quant_ctx
 
         with _quant_ctx(quantize):
             logits = model.apply(
                 variables, (txt, mask, segment, img), train=False,
-                seq_keep_mask=None,
+                seq_keep_mask=(keep[0] if keep else None),
             )
         return jax.nn.softmax(
             logits.astype(jnp.float32) / temperature, axis=-1
@@ -207,6 +217,8 @@ def export_mmbt_predictor(
             "fixed_batch": (None if symbolic_batch else int(fixed_batch)),
             "quantize": quantize,
             "tpu_kernels": allow_tpu_kernels,
+            "ablations": with_ablations,
+            "num_image_embeds": int(predictor.model.num_image_embeds),
             "outputs": "class probabilities",
         },
     )
@@ -284,7 +296,7 @@ def export_vilt_predictor(
 
 def fusion_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0,
+    max_wait_ms: float = 5.0, uncertainty: bool = False,
 ):
     """A :class:`serving.MicroBatcher` over a LOADED fusion artifact —
     the model-code-free serving path (`predict.py --artifact DIR --serve`).
@@ -292,7 +304,13 @@ def fusion_artifact_micro_batcher(
     Samples are `(img[L_i,D], txt[L_t,D])` pairs as in
     `fusion_micro_batcher`; they pad to the artifact's baked img_len /
     txt_len with true-length masks, and the symbolic-batch program runs the
-    coalesced batch at its exact size (no bucket padding needed)."""
+    coalesced batch at its exact size (no bucket padding needed).
+
+    ``uncertainty=True`` returns ``(probs, diag)`` per sample — the
+    masks are artifact INPUTS, so the image-only / text-only ablations
+    run through the same exported program (three calls per coalesced
+    batch), keeping the live predictors' uncertainty surface available
+    model-code-free."""
     from multimodal_uncertainty_tpu.serving import MicroBatcher
 
     li = int(loaded.meta["img_len"])
@@ -322,8 +340,19 @@ def fusion_artifact_micro_batcher(
             txt[i, : b.shape[0]] = b
             im[i, : a.shape[0]] = True
             tm[i, : b.shape[0]] = True
-        probs = loaded(img, txt, im, tm)
-        return [probs[i] for i in range(n)]
+        full = loaded(img, txt, im, tm)[:n]
+        if not uncertainty:
+            return [full[i] for i in range(n)]
+        img_only = loaded(img, txt, im, np.zeros_like(tm))[:n]
+        txt_only = loaded(img, txt, np.zeros_like(im), tm)[:n]
+        diag = {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }
+        return [
+            (full[i], {k: v[i] for k, v in diag.items()}) for i in range(n)
+        ]
 
     return MicroBatcher(
         predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
@@ -332,17 +361,28 @@ def fusion_artifact_micro_batcher(
 
 def mmbt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0,
+    max_wait_ms: float = 5.0, uncertainty: bool = False,
 ):
     """MicroBatcher over a LOADED mmbt artifact — model-code-free serving
     with the same per-sample convention as ``serving.mmbt_micro_batcher``
     (``(token_ids, segment, image)``). Text pads to the artifact's baked
     txt_len (longer samples rejected); fixed-batch artifacts pad the
-    coalesced batch up to the baked size."""
+    coalesced batch up to the baked size. ``uncertainty=True`` needs an
+    artifact exported ``with_ablations=True`` (the keep-mask is then a
+    program input and the img-only/txt-only masks are built here from
+    meta — still no model code)."""
     from multimodal_uncertainty_tpu.serving import MicroBatcher
 
     lt = int(loaded.meta["txt_len"])
     size = int(loaded.meta["image_size"])
+    has_ablations = bool(loaded.meta.get("ablations"))
+    if uncertainty and not has_ablations:
+        raise ValueError(
+            "uncertainty=True needs an artifact exported with_ablations="
+            "True (this one fixes the full forward)"
+        )
+    n_img_tok = int(loaded.meta.get("num_image_embeds", 3)) + 2
+    total = n_img_tok + lt
     fixed_b = loaded.meta.get("fixed_batch")
     if fixed_b is not None:
         max_batch = min(max_batch, int(fixed_b))
@@ -368,8 +408,27 @@ def mmbt_artifact_micro_batcher(
             seg[i, : len(ids)] = segment
             mask[i, : len(ids)] = 1
             img[i] = image
-        probs = loaded(txt, mask, seg, img)
-        return [probs[i] for i in range(n)]
+        extra = (np.ones((nb, total), bool),) if has_ablations else ()
+        full = loaded(txt, mask, seg, img, *extra)[:n]
+        if not uncertainty:
+            return [full[i] for i in range(n)]
+        # keep-mask columns 1/2 of the robustness contract (img-only keeps
+        # the image tokens; txt-only keeps [CLS] + the text tokens)
+        img_only_keep = np.zeros((nb, total), bool)
+        img_only_keep[:, :n_img_tok] = True
+        txt_only_keep = np.zeros((nb, total), bool)
+        txt_only_keep[:, 0] = True
+        txt_only_keep[:, n_img_tok:] = True
+        img_only = loaded(txt, mask, seg, img, img_only_keep)[:n]
+        txt_only = loaded(txt, mask, seg, img, txt_only_keep)[:n]
+        diag = {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }
+        return [
+            (full[i], {k: v[i] for k, v in diag.items()}) for i in range(n)
+        ]
 
     return MicroBatcher(
         predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
@@ -378,10 +437,13 @@ def mmbt_artifact_micro_batcher(
 
 def vilt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0,
+    max_wait_ms: float = 5.0, uncertainty: bool = False,
 ):
     """MicroBatcher over a LOADED vilt artifact (per-sample processor
-    dicts as in ``serving.vilt_micro_batcher``)."""
+    dicts as in ``serving.vilt_micro_batcher``). ``uncertainty=True``
+    runs the text-CLS-only / pixel-masked ablations through the same
+    program (the masks are artifact inputs; same conventions as
+    ``ViltPredictor.predict(ablate=...)``)."""
     from multimodal_uncertainty_tpu.serving import MicroBatcher
 
     lt = int(loaded.meta["txt_len"])
@@ -417,8 +479,21 @@ def vilt_artifact_micro_batcher(
             pm[i] = np.asarray(
                 s.get("pixel_mask", np.ones((size, size), np.int64))
             )
-        probs = loaded(ids, am, tt, pv, pm)
-        return [probs[i] for i in range(n)]
+        full = loaded(ids, am, tt, pv, pm)[:n]
+        if not uncertainty:
+            return [full[i] for i in range(n)]
+        am_cls = np.zeros_like(am)
+        am_cls[:, 0] = 1  # text ablated: keep only the text CLS
+        img_only = loaded(ids, am_cls, tt, pv, pm)[:n]
+        txt_only = loaded(ids, am, tt, pv, np.zeros_like(pm))[:n]
+        diag = {
+            "confidence": full.max(-1),
+            "image_sensitivity": np.abs(full - txt_only).max(-1),
+            "text_sensitivity": np.abs(full - img_only).max(-1),
+        }
+        return [
+            (full[i], {k: v[i] for k, v in diag.items()}) for i in range(n)
+        ]
 
     return MicroBatcher(
         predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms

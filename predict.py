@@ -173,7 +173,8 @@ def _export_family(args, n_classes):
     if args.framework == "mmbt":
         export_mmbt_predictor(
             pred, args.export, txt_len=args.export_txt_len,
-            image_size=224, **kern_kw,
+            image_size=224, with_ablations=args.export_ablations,
+            **kern_kw,
         )
     else:
         export_vilt_predictor(
@@ -255,6 +256,12 @@ def main():
                              "(FLAVA's 197 rounded to the pad multiple)")
     parser.add_argument("--export_txt_len", type=int, default=96,
                         help="padded text-token length baked into --export")
+    parser.add_argument("--export_ablations", action="store_true",
+                        help="mmbt --export: add a keep-mask input to the "
+                             "artifact so `--artifact --serve "
+                             "--uncertainty` works model-code-free "
+                             "(fusion/vilt artifacts always can — their "
+                             "masks are already inputs)")
     parser.add_argument("--export_fixed_batch", type=int, default=None,
                         metavar="B",
                         help="--export (any family): bake a FIXED batch "
@@ -286,6 +293,8 @@ def main():
             vilt_request,
         )
 
+        from multimodal_uncertainty_tpu.server import uncertainty_result
+
         loaded = load_exported(args.artifact)
         decode = {
             "flava_fusion": fusion_request,
@@ -295,8 +304,12 @@ def main():
         mb = artifact_micro_batcher(
             loaded, max_batch=args.serve_max_batch,
             max_wait_ms=args.serve_max_wait_ms,
+            uncertainty=args.uncertainty,
         )
-        srv = PredictionServer(mb, decode, port=args.serve).start()
+        srv = PredictionServer(
+            mb, decode, port=args.serve,
+            encode_result=uncertainty_result if args.uncertainty else None,
+        ).start()
         _serve_forever(srv, mb)
         return
     if args.checkpoint_path is None:

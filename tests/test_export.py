@@ -502,3 +502,123 @@ def test_artifact_micro_batchers_all_families(tmp_path):
         artifact_micro_batcher(
             type("L", (), {"meta": {"family": "nope"}})()
         )
+
+
+def test_artifact_uncertainty_all_families(tmp_path):
+    """Artifact-served uncertainty diagnostics == the live predictors'.
+    Fusion/vilt run the ablations through their mask inputs; mmbt needs
+    with_ablations=True (keep-mask becomes a program input) and rejects
+    uncertainty mode on a full-forward-only artifact."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_uncertainty_tpu.export import (
+        export_mmbt_predictor,
+        export_vilt_predictor,
+        fusion_artifact_micro_batcher,
+        mmbt_artifact_micro_batcher,
+        vilt_artifact_micro_batcher,
+    )
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.models.mmbt import MultimodalBertClf
+    from multimodal_uncertainty_tpu.models.vilt import (
+        ViltConfig,
+        ViltForImagesAndTextClassification,
+    )
+    from multimodal_uncertainty_tpu.serving import MMBTPredictor, ViltPredictor
+
+    rng = np.random.default_rng(0)
+
+    # --- fusion ---
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "f_art")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    mb = fusion_artifact_micro_batcher(load_exported(art), uncertainty=True)
+    try:
+        s_img = rng.normal(size=(5, D)).astype(np.float32)
+        s_txt = rng.normal(size=(4, D)).astype(np.float32)
+        probs, diag = mb((s_img, s_txt))
+        direct, ddiag = pred.predict_with_uncertainty(
+            s_img[None], s_txt[None]
+        )
+        np.testing.assert_allclose(probs, direct[0], atol=1e-5)
+        for k in ddiag:
+            np.testing.assert_allclose(diag[k], ddiag[k][0], atol=1e-5)
+    finally:
+        mb.close()
+
+    # --- mmbt (with_ablations) ---
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = MultimodalBertClf(config=cfg, n_classes=4, num_image_embeds=3,
+                              resnet_layers=(1, 1, 1, 1), attn_impl="xla")
+    lt = 8
+    x = (jnp.asarray(rng.integers(0, 120, size=(2, lt))),
+         jnp.ones((2, lt), jnp.int32), jnp.ones((2, lt), jnp.int32),
+         jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    ckpt = os.path.join(tmp_path, "m.pt")
+    save_weights(variables, None, ckpt)
+    mpred = MMBTPredictor(model, ckpt, template_variables=variables,
+                          batch_buckets=(4,))
+    m_art = os.path.join(tmp_path, "m_art_abl")
+    export_mmbt_predictor(mpred, m_art, txt_len=lt, image_size=64,
+                          with_ablations=True)
+    loaded_m = load_exported(m_art)
+    assert loaded_m.meta["ablations"] is True
+    mmb = mmbt_artifact_micro_batcher(loaded_m, uncertainty=True)
+    try:
+        ids = rng.integers(0, 120, size=lt).astype(np.int64)
+        seg = np.ones(lt, np.int64)
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        probs, diag = mmb((ids, seg, img))
+        direct, ddiag = mpred.predict_with_uncertainty(
+            ids[None], np.ones((1, lt), np.int64), seg[None], img[None]
+        )
+        np.testing.assert_allclose(probs, direct[0], atol=1e-5)
+        for k in ddiag:
+            np.testing.assert_allclose(diag[k], ddiag[k][0], atol=1e-5)
+    finally:
+        mmb.close()
+
+    # full-forward-only artifact rejects uncertainty mode
+    m_art2 = os.path.join(tmp_path, "m_art_plain")
+    export_mmbt_predictor(mpred, m_art2, txt_len=lt, image_size=64)
+    with pytest.raises(ValueError):
+        mmbt_artifact_micro_batcher(load_exported(m_art2), uncertainty=True)
+
+    # --- vilt ---
+    vcfg = dataclasses.replace(
+        ViltConfig.b32(), vocab_size=120, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        image_size=64, num_labels=3,
+    )
+    vmodel = ViltForImagesAndTextClassification(config=vcfg, attn_impl="xla")
+    batch = {
+        "input_ids": rng.integers(0, 120, size=(2, lt)).astype(np.int64),
+        "attention_mask": np.ones((2, lt), np.int64),
+        "token_type_ids": np.zeros((2, lt), np.int64),
+        "pixel_values": rng.normal(size=(2, 64, 64, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    vvars = vmodel.init({"params": jax.random.key(1)}, jb, train=False)
+    vckpt = os.path.join(tmp_path, "v.pt")
+    save_weights(vvars, None, vckpt)
+    vpred = ViltPredictor(vmodel, vckpt, template_variables=vvars,
+                          batch_buckets=(4,))
+    v_art = os.path.join(tmp_path, "v_art")
+    export_vilt_predictor(vpred, v_art, txt_len=lt)
+    vmb = vilt_artifact_micro_batcher(load_exported(v_art), uncertainty=True)
+    try:
+        sample = {k: batch[k][0] for k in batch}
+        probs, diag = vmb(sample)
+        direct, ddiag = vpred.predict_with_uncertainty(
+            {k: v[:1] for k, v in batch.items()}
+        )
+        np.testing.assert_allclose(probs, direct[0], atol=1e-5)
+        for k in ddiag:
+            np.testing.assert_allclose(diag[k], ddiag[k][0], atol=1e-5)
+    finally:
+        vmb.close()
