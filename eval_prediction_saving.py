@@ -20,6 +20,9 @@ def get_args(parser):
     parser.add_argument("--device", default=0, type=int)
     parser.add_argument("--save_path", type=str, required=True)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each eval batch over this many "
+                             "chips (weights replicated)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--multimodal_num_attention_heads", type=int, default=3)
@@ -65,6 +68,11 @@ def main():
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
+    mesh = None
+    if args.data_parallel > 1:
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
     ckpt_name = args.checkpoint_path.split("/")[-1].split(".")[0]
     outputs, labels = save_predictions(
         setup.bundle.apply_fn,
@@ -76,6 +84,7 @@ def main():
         ),
         save_path=args.save_path,
         checkpoint_name=ckpt_name,
+        mesh=mesh,
     )
     s, m, c = outputs.shape
     print(f"Gathered predictions of {s} samples, {m} views, {c} classes")

@@ -25,6 +25,9 @@ def get_args(parser):
     parser.add_argument("--device", default=0, type=int)
     parser.add_argument("--save_path", type=str, required=True)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each eval batch over this many "
+                             "chips (weights replicated)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--transformer", action="store_true")
@@ -70,6 +73,11 @@ def main():
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
+    mesh = None
+    if args.data_parallel > 1:
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
     ckpt_name = args.checkpoint_path.split("/")[-1].split(".")[0]
     outputs, labels = missing_view_sweep(
         setup.bundle.apply_fn,
@@ -81,6 +89,7 @@ def main():
         ),
         save_path=args.save_path,
         checkpoint_name=ckpt_name,
+        mesh=mesh,
     )
     m_, s, m, c = outputs.shape
     print(

@@ -23,8 +23,22 @@ def save_predictions(
     data_forming,
     save_path: Optional[str] = None,
     checkpoint_name: str = "model",
+    mesh=None,
 ):
-    """Returns (outputs (S, M, C), labels (S,)); writes .npy if save_path."""
+    """Returns (outputs (S, M, C), labels (S,)); writes .npy if save_path.
+    ``mesh`` shards each batch over 'data' (weights replicated)."""
+    put_batch = None
+    if mesh is not None:
+        from multimodal_uncertainty_tpu.parallel.sharding import (
+            put_batch_fn,
+            replicated,
+        )
+
+        put_batch = put_batch_fn(mesh)
+        variables = jax.device_put(
+            variables,
+            jax.tree_util.tree_map(lambda _: replicated(mesh), variables),
+        )
 
     @jax.jit
     def fwd(variables, x):
@@ -36,6 +50,8 @@ def save_predictions(
         m = x.shape[1]
         x_j, y_j = jnp.asarray(x), jnp.asarray(y)
         x_j, y_j = data_forming(jax.random.key(0), x_j, y_j, "eval")
+        if put_batch is not None:
+            x_j = put_batch(x_j)
         y_hat = fwd(variables, x_j)
         if model_type == "single-model-weight-sharing":
             y_hat = y_hat.reshape(b, m, y_hat.shape[-1])

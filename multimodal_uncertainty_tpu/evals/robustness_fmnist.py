@@ -25,9 +25,24 @@ def missing_view_sweep(
     data_forming=None,  # unused: eval-phase forming is inlined per variant
     save_path: Optional[str] = None,
     checkpoint_name: str = "model",
+    mesh=None,
 ):
+    """``mesh`` shards each batch over 'data' (weights replicated) — same
+    placement rules as robustness_transformer.py."""
     del data_forming
     m = 4
+    put_batch = None
+    if mesh is not None:
+        from multimodal_uncertainty_tpu.parallel.sharding import (
+            put_batch_fn,
+            replicated,
+        )
+
+        put_batch = put_batch_fn(mesh)
+        variables = jax.device_put(
+            variables,
+            jax.tree_util.tree_map(lambda _: replicated(mesh), variables),
+        )
 
     if model_type != "single-model-weight-sharing":
 
@@ -60,6 +75,8 @@ def missing_view_sweep(
     outputs, labels = [], []
     for x, y in loader:
         x_j = jnp.asarray(x)
+        if put_batch is not None:
+            x_j = put_batch(x_j)
         outputs.append(np.asarray(fwd_variants(variables, x_j)))
         if model_type == "single-model-weight-sharing":
             # reference saves the *formed* labels, i.e. repeated per kept view

@@ -320,3 +320,50 @@ def test_mmbt_sweep_columns_and_dp_mesh():
         seed=0, mesh=mesh,
     )
     np.testing.assert_allclose(sharded, preds, atol=1e-5)
+
+
+def test_fmnist_eval_paths_on_dp_mesh_match_single_device():
+    """missing_view_sweep and save_predictions with mesh= equal the
+    single-device outputs (incl. the weight-sharing fold and a batch that
+    does not divide the data axis)."""
+    from multimodal_uncertainty_tpu.evals.prediction_saving import (
+        save_predictions,
+    )
+    from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, model_parallel=1)
+    x = np.random.default_rng(8).normal(size=(6, 4, 1, 14, 14)).astype(
+        np.float32
+    )
+    y = np.arange(6) % 10
+    loader = [(x, y)]
+
+    for mt in ("MultiHead", "single-model-weight-sharing"):
+        setup = setup_fashionmnist(model_type=mt, seed_key=jax.random.key(3))
+        variables = {"params": setup.state.params,
+                     "batch_stats": setup.state.batch_stats}
+        df = lambda k, xx, yy, phase: data_forming_func(  # noqa: E731
+            k, xx, yy, phase=phase, model_type=mt
+        )
+        single = missing_view_sweep(
+            setup.bundle.apply_fn, variables, loader, model_type=mt,
+            data_forming=df,
+        )
+        sharded = missing_view_sweep(
+            setup.bundle.apply_fn, variables, loader, model_type=mt,
+            data_forming=df, mesh=mesh,
+        )
+        np.testing.assert_allclose(sharded[0], single[0], atol=1e-5,
+                                   err_msg=mt)
+        np.testing.assert_array_equal(sharded[1], single[1])
+
+        p_single = save_predictions(
+            setup.bundle.apply_fn, variables, loader, model_type=mt,
+            data_forming=df,
+        )
+        p_sharded = save_predictions(
+            setup.bundle.apply_fn, variables, loader, model_type=mt,
+            data_forming=df, mesh=mesh,
+        )
+        np.testing.assert_allclose(p_sharded[0], p_single[0], atol=1e-5,
+                                   err_msg=mt)
