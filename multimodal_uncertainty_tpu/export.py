@@ -296,7 +296,7 @@ def export_vilt_predictor(
 
 def fusion_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0, uncertainty: bool = False,
+    max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
 ):
     """A :class:`serving.MicroBatcher` over a LOADED fusion artifact —
     the model-code-free serving path (`predict.py --artifact DIR --serve`).
@@ -355,13 +355,14 @@ def fusion_artifact_micro_batcher(
         ]
 
     return MicroBatcher(
-        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        max_pending=max_pending,
     )
 
 
 def mmbt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0, uncertainty: bool = False,
+    max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
 ):
     """MicroBatcher over a LOADED mmbt artifact — model-code-free serving
     with the same per-sample convention as ``serving.mmbt_micro_batcher``
@@ -431,13 +432,14 @@ def mmbt_artifact_micro_batcher(
         ]
 
     return MicroBatcher(
-        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        max_pending=max_pending,
     )
 
 
 def vilt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
-    max_wait_ms: float = 5.0, uncertainty: bool = False,
+    max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
 ):
     """MicroBatcher over a LOADED vilt artifact (per-sample processor
     dicts as in ``serving.vilt_micro_batcher``). ``uncertainty=True``
@@ -496,7 +498,8 @@ def vilt_artifact_micro_batcher(
         ]
 
     return MicroBatcher(
-        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+        predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        max_pending=max_pending,
     )
 
 

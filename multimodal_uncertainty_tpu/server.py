@@ -17,7 +17,9 @@ Endpoints:
 * ``POST /v1/predict`` — JSON body decoded by the ``decode_request``
   callable into one predictor sample; responds ``{"probs": [...]}``
   (+ any extra fields the encoder adds). 400 on malformed payloads,
-  503 after close, 500 on predictor failure.
+  503 after close or when the batcher's admission queue is full
+  (``MicroBatcher(max_pending=...)`` backpressure), 500 on predictor
+  failure.
 * ``GET /healthz`` — liveness + request counters.
 * ``GET /statz`` — request count, error count, mean/max wall latency ms.
 
@@ -35,6 +37,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 
 import numpy as np
+
+from multimodal_uncertainty_tpu.serving import Overloaded
 
 logger = logging.getLogger(__name__)
 
@@ -184,6 +188,10 @@ class PredictionServer:
                     return
                 try:
                     result = outer.batcher(sample)
+                except Overloaded as e:  # admission control, not a failure
+                    outer._count(t0, error=True)
+                    self._reply(503, {"error": f"overloaded: {e}"})
+                    return
                 except Exception as e:  # predictor/batcher failure
                     logger.exception("predict failed")
                     outer._count(t0, error=True)

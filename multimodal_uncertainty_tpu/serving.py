@@ -22,6 +22,11 @@ from multimodal_uncertainty_tpu.ops.quant import quantized
 from multimodal_uncertainty_tpu.training.checkpoint import load_weights, restore_into
 
 
+class Overloaded(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when the admission queue is
+    full (``max_pending``) — maps to HTTP 503 in the serving endpoint."""
+
+
 def _quant_ctx(mode: Optional[str]):
     """Context entered inside the traced forward so Linear matmuls quantize
     (ops/quant.py). nullcontext when serving full-precision."""
@@ -410,21 +415,28 @@ class MicroBatcher:
     _CLOSE = object()  # queue sentinel: no submit/close race, no idle polling
 
     def __init__(self, predict_batch, *, max_batch: int = 32,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_pending: Optional[int] = None):
         import queue as _queue
         import threading as _threading
 
         self.predict_batch = predict_batch
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # backpressure: bound the admission queue so overload sheds load at
+        # the door (Overloaded -> HTTP 503) instead of growing latency
+        # without bound. None = unbounded (library/offline use).
+        self.max_pending = max_pending
         self._q: "_queue.Queue" = _queue.Queue()
+        self._pending = 0
         self._closed = _threading.Event()
         self._submit_lock = _threading.Lock()
         self._thread = _threading.Thread(target=self._collect, daemon=True)
         self._thread.start()
 
     def submit(self, sample):
-        """Enqueue one sample; returns a concurrent.futures.Future."""
+        """Enqueue one sample; returns a concurrent.futures.Future.
+        Raises :class:`Overloaded` when ``max_pending`` requests are
+        already queued (admission control, not an error in the batch)."""
         from concurrent.futures import Future
 
         fut: Future = Future()
@@ -433,6 +445,13 @@ class MicroBatcher:
         with self._submit_lock:
             if self._closed.is_set():
                 raise RuntimeError("MicroBatcher is closed")
+            if (self.max_pending is not None
+                    and self._pending >= self.max_pending):
+                raise Overloaded(
+                    f"{self._pending} requests pending (max_pending="
+                    f"{self.max_pending})"
+                )
+            self._pending += 1
             self._q.put((sample, fut))
         return fut
 
@@ -469,6 +488,10 @@ class MicroBatcher:
             self._serve(batch)
 
     def _serve(self, batch):
+        # these items left the admission queue: free their pending slots
+        # (bounds QUEUED requests; one in-flight batch rides on top)
+        with self._submit_lock:
+            self._pending -= len(batch)
         # claim the futures: cancelled ones (client gave up) drop out,
         # live ones can no longer be cancelled mid-flight
         samples, futures = [], []
@@ -524,6 +547,7 @@ class MicroBatcher:
 
 def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
                          max_wait_ms: float = 5.0,
+                       max_pending=None,
                          uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over a FusionPredictor for variable-length samples.
 
@@ -561,11 +585,13 @@ def fusion_micro_batcher(predictor: "FusionPredictor", *, max_batch: int = 32,
         return list(probs)
 
     return MicroBatcher(predict_batch, max_batch=max_batch,
-                        max_wait_ms=max_wait_ms)
+                        max_wait_ms=max_wait_ms,
+                        max_pending=max_pending)
 
 
 def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
                        max_wait_ms: float = 5.0,
+                       max_pending=None,
                        pad_multiple: int = 32,
                        uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over an MMBTPredictor. Each sample is
@@ -598,11 +624,13 @@ def mmbt_micro_batcher(predictor: "MMBTPredictor", *, max_batch: int = 32,
         return list(predictor.predict(txt, mask, seg, img))
 
     return MicroBatcher(predict_batch, max_batch=max_batch,
-                        max_wait_ms=max_wait_ms)
+                        max_wait_ms=max_wait_ms,
+                        max_pending=max_pending)
 
 
 def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
                        max_wait_ms: float = 5.0,
+                       max_pending=None,
                        pad_multiple: int = 8,
                        uncertainty: bool = False) -> MicroBatcher:
     """MicroBatcher over a ViltPredictor. Each sample is a per-sample
@@ -647,4 +675,5 @@ def vilt_micro_batcher(predictor: "ViltPredictor", *, max_batch: int = 32,
         return list(predictor.predict(batch))
 
     return MicroBatcher(predict_batch, max_batch=max_batch,
-                        max_wait_ms=max_wait_ms)
+                        max_wait_ms=max_wait_ms,
+                        max_pending=max_pending)

@@ -135,6 +135,7 @@ def _serve_family(args, n_classes):
 
         mb = mmbt_micro_batcher(pred, max_batch=args.serve_max_batch,
                                 max_wait_ms=args.serve_max_wait_ms,
+                                max_pending=args.serve_max_pending,
                                 uncertainty=args.uncertainty)
         decode = mmbt_request
     else:
@@ -142,6 +143,7 @@ def _serve_family(args, n_classes):
 
         mb = vilt_micro_batcher(pred, max_batch=args.serve_max_batch,
                                 max_wait_ms=args.serve_max_wait_ms,
+                                max_pending=args.serve_max_pending,
                                 uncertainty=args.uncertainty)
         decode = vilt_request
 
@@ -223,6 +225,10 @@ def main():
                              "image}; vilt processor dicts")
     parser.add_argument("--serve_max_batch", type=int, default=32)
     parser.add_argument("--serve_max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--serve_max_pending", type=int, default=None,
+                        help="admission-control bound on queued requests "
+                             "(overload returns HTTP 503 instead of "
+                             "growing latency; default unbounded)")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="serve over a device mesh: shard each "
                              "coalesced batch across this many chips")
@@ -304,6 +310,7 @@ def main():
         mb = artifact_micro_batcher(
             loaded, max_batch=args.serve_max_batch,
             max_wait_ms=args.serve_max_wait_ms,
+                                max_pending=args.serve_max_pending,
             uncertainty=args.uncertainty,
         )
         srv = PredictionServer(
@@ -414,6 +421,7 @@ def main():
         mb = fusion_micro_batcher(
             predictor, max_batch=args.serve_max_batch,
             max_wait_ms=args.serve_max_wait_ms,
+                                max_pending=args.serve_max_pending,
             uncertainty=args.uncertainty,
         )
         srv = PredictionServer(

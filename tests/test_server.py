@@ -264,3 +264,20 @@ def test_uncertainty_over_http(tmp_path):
     finally:
         srv.close()
         mb.close()
+
+
+def test_overloaded_maps_to_503():
+    """MicroBatcher admission-control rejections surface as HTTP 503."""
+    from multimodal_uncertainty_tpu.serving import Overloaded
+
+    def reject(sample):
+        raise Overloaded("2 requests pending (max_pending=2)")
+
+    srv = PredictionServer(reject, fusion_request).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/v1/predict", {"img": [[1.0]], "txt": [[1.0]]})
+        assert e.value.code == 503
+        assert "overloaded" in json.loads(e.value.read())["error"]
+    finally:
+        srv.close()

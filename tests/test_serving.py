@@ -742,3 +742,38 @@ def test_fusion_predictor_int8_on_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         sharded.predict(img, txt), single.predict(img, txt), atol=1e-5
     )
+
+
+def test_micro_batcher_backpressure_overloaded():
+    """max_pending bounds the admission queue: floods raise Overloaded
+    while accepted requests still complete; without the bound nothing
+    changes."""
+    import threading
+    import time
+
+    import pytest
+
+    from multimodal_uncertainty_tpu.serving import MicroBatcher, Overloaded
+
+    release = threading.Event()
+
+    def slow_predict(samples):
+        release.wait(timeout=10)
+        return [s * 2 for s in samples]
+
+    mb = MicroBatcher(slow_predict, max_batch=1, max_wait_ms=1,
+                      max_pending=2)
+    try:
+        futs = [mb.submit(1)]
+        time.sleep(0.05)  # collector claims it, enters slow_predict
+        futs.append(mb.submit(2))
+        futs.append(mb.submit(3))  # queue now holds 2 = max_pending
+        with pytest.raises(Overloaded):
+            mb.submit(4)
+        release.set()
+        assert sorted(f.result(timeout=10) for f in futs) == [2, 4, 6]
+        # queue drained -> admission reopens
+        assert mb.submit(5).result(timeout=10) == 10
+    finally:
+        release.set()
+        mb.close()
