@@ -62,6 +62,8 @@ def save_exported(
     generation that serialized them — the trade for serving at live-kernel
     speed; ``meta.json`` records ``tpu_kernels: true`` so loaders can warn.
     """
+    import hashlib
+
     os.makedirs(path, exist_ok=True)
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
@@ -77,11 +79,13 @@ def save_exported(
         platforms=tuple(platforms) if platforms else None,
         disabled_checks=disabled,
     )(var_specs, *input_specs)
+    fn_bytes = exported.serialize()
     with open(os.path.join(path, _FN_FILE), "wb") as f:
-        f.write(exported.serialize())
+        f.write(fn_bytes)
     host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    weight_bytes = serialization.msgpack_serialize(host_vars)
     with open(os.path.join(path, _WEIGHTS_FILE), "wb") as f:
-        f.write(serialization.msgpack_serialize(host_vars))
+        f.write(weight_bytes)
     record = {
         "jax_version": jax.__version__,
         "platforms": list(exported.platforms),
@@ -89,6 +93,12 @@ def save_exported(
             {"shape": [str(d) for d in s.shape], "dtype": str(s.dtype)}
             for s in input_specs
         ],
+        # integrity: a loader can detect a corrupt or mixed-up artifact
+        # (wrong weights next to a program) before serving garbage
+        "sha256": {
+            _FN_FILE: hashlib.sha256(fn_bytes).hexdigest(),
+            _WEIGHTS_FILE: hashlib.sha256(weight_bytes).hexdigest(),
+        },
         **(meta or {}),
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
@@ -128,13 +138,30 @@ class ExportedPredictor:
         return jax.tree_util.tree_map(np.asarray, out)
 
 
-def load_exported(path: str) -> ExportedPredictor:
+def load_exported(path: str, *, verify: bool = True) -> ExportedPredictor:
+    """``verify=True`` checks the meta.json sha256 of both blobs (written
+    by every exporter) — a corrupt download or mismatched weights file
+    fails here instead of serving garbage."""
+    import hashlib
+
     with open(os.path.join(path, _FN_FILE), "rb") as f:
-        exported = jax.export.deserialize(f.read())
+        fn_bytes = f.read()
     with open(os.path.join(path, _WEIGHTS_FILE), "rb") as f:
-        variables = serialization.msgpack_restore(f.read())
+        weight_bytes = f.read()
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
+    if verify and "sha256" in meta:
+        for name, blob in ((_FN_FILE, fn_bytes), (_WEIGHTS_FILE, weight_bytes)):
+            want = meta["sha256"].get(name)
+            got = hashlib.sha256(blob).hexdigest()
+            if want is not None and got != want:
+                raise ValueError(
+                    f"artifact integrity check failed for {name}: "
+                    f"sha256 {got} != recorded {want} (pass verify=False "
+                    f"to load anyway)"
+                )
+    exported = jax.export.deserialize(fn_bytes)
+    variables = serialization.msgpack_restore(weight_bytes)
     if meta.get("tpu_kernels") and jax.default_backend() not in ("tpu",):
         import logging
 

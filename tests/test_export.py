@@ -622,3 +622,35 @@ def test_artifact_uncertainty_all_families(tmp_path):
             np.testing.assert_allclose(diag[k], ddiag[k][0], atol=1e-5)
     finally:
         vmb.close()
+
+
+def test_artifact_integrity_check(tmp_path):
+    """meta.json records blob sha256s; a tampered weights file fails the
+    load instead of serving garbage, and verify=False overrides."""
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact_sum")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    loaded = load_exported(art)  # clean load verifies silently
+    assert set(loaded.meta["sha256"]) == {"fn.stablehlo", "weights.msgpack"}
+
+    with open(os.path.join(art, "weights.msgpack"), "r+b") as f:
+        f.seek(20)
+        b = f.read(1)
+        f.seek(20)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="integrity"):
+        load_exported(art)
+    with open(os.path.join(art, "weights.msgpack"), "r+b") as f:
+        f.seek(20)
+        f.write(b)  # undo the corruption
+
+    # stale recorded hash (meta edited): rejected unless verify=False
+    import json as _json
+
+    meta_path = os.path.join(art, "meta.json")
+    meta = _json.load(open(meta_path))
+    meta["sha256"]["weights.msgpack"] = "0" * 64
+    _json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="integrity"):
+        load_exported(art)
+    load_exported(art, verify=False)  # explicit override still loads
