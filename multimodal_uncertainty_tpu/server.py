@@ -159,6 +159,12 @@ class PredictionServer:
                     s["mean_ms"] = (
                         s["total_ms"] / s["requests"] if s["requests"] else 0.0
                     )
+                    # backpressure visibility: queued requests + the bound
+                    # (None when the batcher is a bare callable or unbounded)
+                    s["pending"] = getattr(outer.batcher, "_pending", None)
+                    s["max_pending"] = getattr(
+                        outer.batcher, "max_pending", None
+                    )
                     self._reply(200, s)
                 else:
                     self._reply(404, {"error": f"no such path: {self.path}"})

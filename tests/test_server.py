@@ -281,3 +281,20 @@ def test_overloaded_maps_to_503():
         assert "overloaded" in json.loads(e.value.read())["error"]
     finally:
         srv.close()
+
+
+def test_statz_exposes_backpressure():
+    """/statz reports queued-request count and the admission bound."""
+    from multimodal_uncertainty_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda xs: [x for x in xs], max_batch=4,
+                      max_wait_ms=1, max_pending=7)
+    srv = PredictionServer(mb, fusion_request).start()
+    try:
+        _post(srv.port, "/v1/predict", {"img": [[1.0]], "txt": [[1.0]]})
+        _, stats = _get(srv.port, "/statz")
+        assert stats["max_pending"] == 7
+        assert stats["pending"] == 0  # drained
+    finally:
+        srv.close()
+        mb.close()
