@@ -59,12 +59,16 @@ def save_predictions(
         outputs.append(np.asarray(y_hat))
         labels.append(np.asarray(y_j))
 
-    outputs = np.concatenate(outputs, axis=0)
+    from multimodal_uncertainty_tpu.evals.artifacts import concat_maybe_memmap
+
+    pred_path = (
+        os.path.join(save_path, f"{checkpoint_name}_predictions.npy")
+        if save_path is not None
+        else None
+    )
+    outputs = concat_maybe_memmap(outputs, axis=0, path=pred_path)
     labels = np.concatenate(labels, axis=0)
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
-        np.save(
-            os.path.join(save_path, f"{checkpoint_name}_predictions.npy"), outputs
-        )
         np.save(os.path.join(save_path, f"{checkpoint_name}_labels.npy"), labels)
     return outputs, labels

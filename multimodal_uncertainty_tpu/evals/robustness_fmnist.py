@@ -85,13 +85,16 @@ def missing_view_sweep(
         else:
             labels.append(np.asarray(y))
 
-    outputs = np.concatenate(outputs, axis=1)  # (M_, S, M(or m-1), C)
+    from multimodal_uncertainty_tpu.evals.artifacts import concat_maybe_memmap
+
+    pred_path = (
+        os.path.join(save_path, f"{checkpoint_name}_predictions_robustness.npy")
+        if save_path is not None
+        else None
+    )
+    outputs = concat_maybe_memmap(outputs, axis=1, path=pred_path)
     labels = np.concatenate(labels, axis=0)
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
-        np.save(
-            os.path.join(save_path, f"{checkpoint_name}_predictions_robustness.npy"),
-            outputs,
-        )
         np.save(os.path.join(save_path, f"{checkpoint_name}_labels.npy"), labels)
     return outputs, labels

@@ -121,16 +121,19 @@ def mmbt_robustness_sweep(
         preds.append(np.asarray(out))
         labels.append(np.asarray(y).reshape(-1))
 
-    preds = np.concatenate(preds, axis=0)
+    from multimodal_uncertainty_tpu.evals.artifacts import concat_maybe_memmap
+
+    pred_path = (
+        os.path.join(
+            save_path, f"robustness_{checkpoint_name}_predictions_{phase}.npy"
+        )
+        if save_path is not None
+        else None
+    )
+    preds = concat_maybe_memmap(preds, axis=0, path=pred_path)
     labels = np.concatenate(labels, axis=0)
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
-        np.save(
-            os.path.join(
-                save_path, f"robustness_{checkpoint_name}_predictions_{phase}.npy"
-            ),
-            preds,
-        )
         np.save(
             os.path.join(save_path, f"robustness_{checkpoint_name}_labels_{phase}.npy"),
             labels,

@@ -367,3 +367,28 @@ def test_fmnist_eval_paths_on_dp_mesh_match_single_device():
         )
         np.testing.assert_allclose(p_sharded[0], p_single[0], atol=1e-5,
                                    err_msg=mt)
+
+
+def test_concat_maybe_memmap_file_identical_to_np_save(tmp_path):
+    """Streaming artifact assembly writes the same .npy bytes as
+    np.save(np.concatenate(...)) for both concat axes."""
+    import os
+
+    from multimodal_uncertainty_tpu.evals.artifacts import concat_maybe_memmap
+
+    rng = np.random.default_rng(0)
+    parts = [rng.normal(size=(3, 5, 2)).astype(np.float32),
+             rng.normal(size=(4, 5, 2)).astype(np.float32)]
+    for axis, blocks in ((0, parts),
+                         (1, [p.transpose(1, 0, 2) for p in parts])):
+        ref = np.concatenate(blocks, axis=axis)
+        ref_path = os.path.join(tmp_path, f"ref{axis}.npy")
+        np.save(ref_path, ref)
+        mm_path = os.path.join(tmp_path, f"mm{axis}.npy")
+        out = concat_maybe_memmap(blocks, axis=axis, path=mm_path)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+        assert open(mm_path, "rb").read() == open(ref_path, "rb").read()
+    # no path -> plain concatenate
+    np.testing.assert_array_equal(
+        concat_maybe_memmap(parts, axis=0), np.concatenate(parts, axis=0)
+    )
