@@ -127,6 +127,43 @@ def reliability_curve(
     }
 
 
+def recommend_temperature(
+    t_fit: float,
+    ece_before: float,
+    ece_after: float,
+    nll_before: float,
+    nll_after: float,
+    *,
+    min_nll_gain: float = 0.005,
+) -> tuple:
+    """Decide whether the fitted temperature should actually be deployed.
+
+    The fit minimizes NLL, which is NOT the serving objective (max-prob
+    calibration). Two regimes make the fitted T actively harmful, both seen
+    in practice (the fmnist smoke drive fitted T=0.196 on an
+    already-calibrated model and pushed ECE 0.0074 -> 0.194 — 26x worse):
+
+    * the fitted T DEGRADES ECE on the eval split, or
+    * the NLL gain is negligible (relative improvement < ``min_nll_gain``)
+      so there is no evidence the reshape helps anything.
+
+    Returns ``(recommended_t, guard)`` — the fitted T with ``guard=None``
+    when scaling is safe, else ``(1.0, reason)``.
+    """
+    if ece_after > ece_before:
+        return 1.0, (
+            f"ece_degraded: temperature scaling worsens ECE "
+            f"({ece_before:.4f} -> {ece_after:.4f}); serving with T=1.0"
+        )
+    rel_gain = (nll_before - nll_after) / max(abs(nll_before), 1e-12)
+    if rel_gain < min_nll_gain:
+        return 1.0, (
+            f"nll_gain_negligible: NLL improves only {rel_gain * 100.0:.3f}% "
+            f"({nll_before:.4f} -> {nll_after:.4f}); serving with T=1.0"
+        )
+    return float(t_fit), None
+
+
 def calibration_report(
     val_logits: np.ndarray,
     val_labels: np.ndarray,
@@ -137,7 +174,13 @@ def calibration_report(
 ) -> dict:
     """Fit T on validation, report ECE/NLL before vs after (on test when
     given, else on validation — the honest protocol fits and evaluates on
-    different splits)."""
+    different splits).
+
+    ``recommended_temperature`` is the value to actually serve with: the
+    fitted T only when it does not degrade ECE and buys a real NLL gain on
+    the eval split (see :func:`recommend_temperature`); otherwise 1.0, with
+    the reason in ``guard``.
+    """
     from multimodal_uncertainty_tpu.ops.metrics import (
         expected_calibration_error,
     )
@@ -147,13 +190,24 @@ def calibration_report(
     labels = val_labels if test_labels is None else test_labels
     before = apply_temperature(logits, 1.0)
     after = apply_temperature(logits, t)
+    ece_before = expected_calibration_error(before, labels, n_bins)
+    ece_after = expected_calibration_error(after, labels, n_bins)
+    nll_before = _report_nll(logits, labels, 1.0)
+    nll_after = _report_nll(logits, labels, t)
+    rec_t, guard = recommend_temperature(
+        t, ece_before, ece_after, nll_before, nll_after
+    )
     return {
         "temperature": t,
-        "ece_before": expected_calibration_error(before, labels, n_bins),
-        "ece_after": expected_calibration_error(after, labels, n_bins),
-        "nll_before": _report_nll(logits, labels, 1.0),
-        "nll_after": _report_nll(logits, labels, t),
-        "reliability_after": reliability_curve(after, labels, n_bins),
+        "recommended_temperature": rec_t,
+        "guard": guard,
+        "ece_before": ece_before,
+        "ece_after": ece_after,
+        "nll_before": nll_before,
+        "nll_after": nll_after,
+        "reliability_after": reliability_curve(
+            apply_temperature(logits, rec_t), labels, n_bins
+        ),
     }
 
 

@@ -50,16 +50,28 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Join the distributed runtime. On TPU pods all arguments are optional
-    (discovered from the TPU environment); elsewhere pass them explicitly.
-    No-op when num_processes == 1 and no coordinator is given."""
-    if coordinator_address is None and (num_processes or 1) == 1:
+    """Join the distributed runtime.
+
+    ``num_processes`` semantics (matching ``train.py --num_processes``):
+
+    * ``None`` / ``1`` with no coordinator — single-process run, no-op.
+    * ``0`` — AUTO-DISCOVER: on TPU pods the coordinator, process count and
+      process id all come from the TPU environment, so
+      ``jax.distributed.initialize()`` is called with no arguments at all
+      (passing explicit ``None``s alongside a count would skip discovery).
+    * anything else — explicit topology (CPU test fleets): all three
+      arguments are forwarded as given.
+    """
+    if num_processes == 0:
+        jax.distributed.initialize()
+    elif coordinator_address is None and (num_processes or 1) == 1:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     logger.info(
         "multihost: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -121,3 +121,73 @@ def test_calibration_report_protocol():
     assert rep["ece_after"] < rep["ece_before"]
     assert rep["nll_after"] < rep["nll_before"]
     assert rep["reliability_after"]["count"].sum() == test_labels.size
+    # scaling genuinely helps here: the guard stays quiet and the fitted T
+    # is what gets recommended for serving
+    assert rep["guard"] is None
+    assert rep["recommended_temperature"] == rep["temperature"]
+
+
+def test_guard_rejects_ece_degrading_temperature():
+    """Regression for the fmnist smoke drive (unitest/out/calibrate_fmnist
+    .txt, round 3): the NLL fit found T=0.196 on an already-calibrated
+    model and pushed ECE 0.0074 -> 0.194 — 26x worse — yet the CLI still
+    recommended serving with it. The decision layer must reject exactly
+    those numbers."""
+    from multimodal_uncertainty_tpu.analysis.calibration import (
+        recommend_temperature,
+    )
+
+    rec_t, guard = recommend_temperature(
+        0.1962, ece_before=0.0074, ece_after=0.1942,
+        nll_before=2.2611, nll_after=2.1855,
+    )
+    assert rec_t == 1.0
+    assert guard is not None and "ece_degraded" in guard
+
+    # negligible-NLL-gain branch: a T that barely moves NLL is also not
+    # worth deploying even if ECE doesn't technically degrade
+    rec_t, guard = recommend_temperature(
+        0.98, ece_before=0.0177, ece_after=0.0170,
+        nll_before=1.8643, nll_after=1.8642,
+    )
+    assert rec_t == 1.0
+    assert guard is not None and "nll_gain_negligible" in guard
+
+    # a genuinely useful fit passes through untouched
+    rec_t, guard = recommend_temperature(
+        3.0, ece_before=0.20, ece_after=0.02,
+        nll_before=2.0, nll_after=1.5,
+    )
+    assert rec_t == 3.0 and guard is None
+
+
+def test_calibration_report_guard_end_to_end():
+    """An already-calibrated ensemble whose heads share a consensus noise
+    direction: the NLL fit lands near (but not at) T=1 and max-prob ECE
+    gets WORSE — calibration_report must recommend T=1.0, and the
+    reliability curve must describe the RECOMMENDED serving distribution."""
+    from multimodal_uncertainty_tpu.analysis.calibration import (
+        recommend_temperature,
+    )
+
+    rng = np.random.default_rng(0)
+    n, c, e = 4000, 10, 3
+    labels = rng.integers(0, c, n)
+    consensus = rng.normal(0, 1.0, (n, 1, c))
+    heads = consensus + rng.normal(0, 0.2, (n, e, c))
+    heads[np.arange(n), :, labels] += 1.0
+    rep = calibration_report(heads, labels)
+    assert rep["guard"] is not None
+    assert rep["recommended_temperature"] == 1.0
+    # the decision reproduces from the reported numbers alone
+    rec_t, _ = recommend_temperature(
+        rep["temperature"], rep["ece_before"], rep["ece_after"],
+        rep["nll_before"], rep["nll_after"],
+    )
+    assert rec_t == 1.0
+    # reliability_after reflects T=1.0 serving, not the rejected fit
+    before = softmax_np(heads).mean(axis=1)
+    curve = reliability_curve(before, labels, n_bins=15)
+    np.testing.assert_allclose(
+        rep["reliability_after"]["confidence"], curve["confidence"]
+    )

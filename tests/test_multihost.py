@@ -148,3 +148,36 @@ def test_two_process_fsdp_matches_single_process_dp(tmp_path):
             single[k], multi[k], atol=5e-3,
             err_msg=f"param {k} diverged beyond the float-drift band",
         )
+
+
+def test_initialize_auto_discovery_recipe(monkeypatch):
+    """The documented TPU-pod recipe — ``--num_processes 0`` — must reach
+    ``jax.distributed.initialize()`` with NO arguments (discovery comes
+    from the TPU environment); single-process defaults must never touch
+    the distributed runtime; explicit CPU-fleet topologies pass through.
+    Round-3 verdict: the 0 was converted to None and the call was silently
+    skipped, so a real pod trained N independent single-host jobs."""
+    import jax
+
+    from multimodal_uncertainty_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **kw: calls.append((a, kw)),
+    )
+
+    # the documented pod recipe: bare initialize(), nothing else
+    multihost.initialize(None, num_processes=0, process_id=None)
+    assert calls == [((), {})]
+
+    # single-process defaults: no distributed init at all
+    calls.clear()
+    multihost.initialize(None, num_processes=1, process_id=None)
+    multihost.initialize(None, num_processes=None, process_id=None)
+    assert calls == []
+
+    # explicit CPU-fleet topology forwards all three arguments
+    multihost.initialize("localhost:1234", num_processes=2, process_id=1)
+    assert calls == [((), {"coordinator_address": "localhost:1234",
+                           "num_processes": 2, "process_id": 1})]

@@ -39,7 +39,9 @@ def main():
     ap.add_argument("--test_labels", default=None)
     ap.add_argument("--n_bins", type=int, default=15)
     ap.add_argument("--reliability_csv", default=None,
-                    help="write the post-calibration reliability curve")
+                    help="write the reliability curve at the RECOMMENDED "
+                         "serving temperature (the fitted T only when the "
+                         "guard accepts it)")
     args = ap.parse_args()
 
     if (args.test_predictions is None) != (args.test_labels is None):
@@ -66,7 +68,18 @@ def main():
             header="bin_lo,bin_hi,confidence,accuracy,count", comments="",
         )
     rep["eval_split"] = "test" if test_logits is not None else "val"
-    rep["serve_with"] = f"predict.py --temperature {rep['temperature']:.4f}"
+    # Serve the GUARDED recommendation, not the raw fit: the NLL-optimal T
+    # can degrade max-prob ECE (analysis/calibration.py
+    # ``recommend_temperature``), in which case T=1.0 is printed instead.
+    rep["serve_with"] = (
+        f"predict.py --temperature {rep['recommended_temperature']:.4f}"
+    )
+    if rep["guard"] is not None:
+        print(
+            f"WARNING: fitted T={rep['temperature']:.4f} rejected — "
+            f"{rep['guard']}",
+            file=sys.stderr,
+        )
     print(json.dumps(rep, indent=2))
 
 

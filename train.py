@@ -224,9 +224,11 @@ def main():
     if args.coordinator_address is not None or args.num_processes != 1:
         from multimodal_uncertainty_tpu.parallel import multihost
 
+        # num_processes passes through unmodified: 0 means auto-discover
+        # (parallel/multihost.py calls jax.distributed.initialize() bare)
         multihost.initialize(
             args.coordinator_address,
-            num_processes=args.num_processes or None,
+            num_processes=args.num_processes,
             process_id=args.process_id,
         )
 
