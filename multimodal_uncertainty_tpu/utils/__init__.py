@@ -3,8 +3,4 @@ from multimodal_uncertainty_tpu.utils.trees import (  # noqa: F401
     tree_to_device,
     tree_to_numpy,
 )
-from multimodal_uncertainty_tpu.utils.logging_utils import (  # noqa: F401
-    Fork,
-    configure_logger,
-    run_with_redirection,
-)
+from multimodal_uncertainty_tpu.utils.logging_utils import TeeLog  # noqa: F401

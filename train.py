@@ -196,6 +196,13 @@ def main():
     assert remaining == [], remaining
     args = add_conditional_args(args)
 
+    # mirror the console transcript (config echo, progress, warnings) into
+    # the run directory — the operational record next to the checkpoints
+    from multimodal_uncertainty_tpu.utils.logging_utils import TeeLog
+
+    os.makedirs(args.save_path, exist_ok=True)
+    TeeLog(os.path.join(args.save_path, "out.log")).install()
+
     import jax
     import jax.numpy as jnp
 

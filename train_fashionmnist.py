@@ -71,6 +71,12 @@ def main():
     # latch SIGTERM before the slow import/compile phase (see train.py)
     guard = PreemptionGuard().install()
 
+    # console transcript -> run directory (see utils/logging_utils.py)
+    from multimodal_uncertainty_tpu.utils.logging_utils import TeeLog
+
+    os.makedirs(args.save_path, exist_ok=True)
+    TeeLog(os.path.join(args.save_path, "out.log")).install()
+
     root_key = set_seed(args.seed)
 
     train, valid, _ = get_fmnist(
