@@ -29,8 +29,10 @@ def concat_maybe_memmap(
     total = sum(p.shape[axis] for p in parts)
     shape = list(parts[0].shape)
     shape[axis] = total
+    # match np.concatenate's promotion — parts[0].dtype alone would
+    # silently downcast heterogeneous blocks on assignment
     out = np.lib.format.open_memmap(
-        path, mode="w+", dtype=parts[0].dtype, shape=tuple(shape)
+        path, mode="w+", dtype=np.result_type(*parts), shape=tuple(shape)
     )
     ofs = 0
     index = [slice(None)] * parts[0].ndim

@@ -17,8 +17,12 @@ Two extras beyond a plain ``jax.export.export``:
 
 * **Symbolic batch**: the default exports with a polymorphic leading batch
   dim (``jax.export.symbolic_shape``), so ONE artifact serves every batch
-  size with no per-size retrace/recompile — the AOT analogue of the
-  predictors' bucket padding. Requires the XLA attention path (the Pallas
+  size with no per-size re-EXPORT. Note what that does and doesn't buy:
+  the loaded program still XLA-compiles once per concrete input shape it
+  is called with (symbolic export removes the need to re-run the Python
+  exporter, not per-shape compilation), so the artifact micro-batchers
+  below pad coalesced batches to serving-style buckets to keep the
+  compile count bounded. Requires the XLA attention path (the Pallas
   kernels' grids are specialized on concrete batch blocks); pass
   ``symbolic_batch=False`` to export a fixed-shape kernel-path program.
 * **Multi-platform**: ``platforms=("cpu", "tpu")`` lowers one artifact that
@@ -321,36 +325,60 @@ def export_vilt_predictor(
     )
 
 
+def _coalesced_batch(n: int, fixed_b, buckets) -> int:
+    """Program-shape batch size for ``n`` coalesced requests: fixed-batch
+    artifacts run at exactly the baked size; symbolic-batch artifacts pad
+    up to serving-style buckets so the jit around ``Exported.call``
+    compiles a BOUNDED set of programs (symbolic export avoids re-export,
+    not per-shape XLA compilation — on slow-compile backends an unpadded
+    batcher would stall on every new arrival count)."""
+    if fixed_b is not None:
+        return int(fixed_b)
+    from multimodal_uncertainty_tpu.serving import _bucket_for
+
+    return _bucket_for(n, sorted(buckets), 1)
+
+
 def fusion_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
     max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
+    batch_buckets: Sequence[int] = (8, 32),
+    pad_multiple: int = 32,
 ):
     """A :class:`serving.MicroBatcher` over a LOADED fusion artifact —
     the model-code-free serving path (`predict.py --artifact DIR --serve`).
 
     Samples are `(img[L_i,D], txt[L_t,D])` pairs as in
     `fusion_micro_batcher`; they pad to the artifact's baked img_len /
-    txt_len with true-length masks, and the symbolic-batch program runs the
-    coalesced batch at its exact size (no bucket padding needed).
+    txt_len with true-length masks. For artifacts exported with
+    ``symbolic_lengths=True`` the baked lengths are documentation-only:
+    samples of any length are accepted and pad to the coalesced batch's
+    max lengths rounded up to ``pad_multiple``. Symbolic-BATCH programs
+    pad the coalesced batch up to ``batch_buckets`` (and slice back), so
+    only a bounded set of shapes ever compiles.
 
     ``uncertainty=True`` returns ``(probs, diag)`` per sample — the
     masks are artifact INPUTS, so the image-only / text-only ablations
     run through the same exported program (three calls per coalesced
     batch), keeping the live predictors' uncertainty surface available
     model-code-free."""
-    from multimodal_uncertainty_tpu.serving import MicroBatcher
+    from multimodal_uncertainty_tpu.serving import MicroBatcher, _round_up
 
-    li = int(loaded.meta["img_len"])
-    lt = int(loaded.meta["txt_len"])
+    baked_li = int(loaded.meta["img_len"])
+    baked_lt = int(loaded.meta["txt_len"])
+    sym_len = bool(loaded.meta.get("symbolic_lengths"))
     fixed_b = loaded.meta.get("fixed_batch")
     if fixed_b is not None:
         max_batch = min(max_batch, int(fixed_b))
 
     def predict_batch(samples):
         n = len(samples)
-        # fixed-batch (kernel-path) artifacts run at exactly the baked
-        # size; pad the coalesced batch up to it and slice the result
-        nb = int(fixed_b) if fixed_b is not None else n
+        nb = _coalesced_batch(n, fixed_b, batch_buckets)
+        if sym_len:
+            li = _round_up(max(a.shape[0] for a, _ in samples), pad_multiple)
+            lt = _round_up(max(b.shape[0] for _, b in samples), pad_multiple)
+        else:
+            li, lt = baked_li, baked_lt
         d_img = samples[0][0].shape[-1]
         d_txt = samples[0][1].shape[-1]  # may differ (text_hidden_size)
         img = np.zeros((nb, li, d_img), np.float32)
@@ -390,6 +418,7 @@ def fusion_artifact_micro_batcher(
 def mmbt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
     max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
+    batch_buckets: Sequence[int] = (8, 32),
 ):
     """MicroBatcher over a LOADED mmbt artifact — model-code-free serving
     with the same per-sample convention as ``serving.mmbt_micro_batcher``
@@ -417,7 +446,7 @@ def mmbt_artifact_micro_batcher(
 
     def predict_batch(samples):
         n = len(samples)
-        nb = int(fixed_b) if fixed_b is not None else n
+        nb = _coalesced_batch(n, fixed_b, batch_buckets)
         txt = np.zeros((nb, lt), np.int32)
         seg = np.zeros((nb, lt), np.int32)
         mask = np.zeros((nb, lt), np.int32)
@@ -467,6 +496,7 @@ def mmbt_artifact_micro_batcher(
 def vilt_artifact_micro_batcher(
     loaded: ExportedPredictor, *, max_batch: int = 32,
     max_wait_ms: float = 5.0, max_pending=None, uncertainty: bool = False,
+    batch_buckets: Sequence[int] = (8, 32),
 ):
     """MicroBatcher over a LOADED vilt artifact (per-sample processor
     dicts as in ``serving.vilt_micro_batcher``). ``uncertainty=True``
@@ -483,7 +513,7 @@ def vilt_artifact_micro_batcher(
 
     def predict_batch(samples):
         n = len(samples)
-        nb = int(fixed_b) if fixed_b is not None else n
+        nb = _coalesced_batch(n, fixed_b, batch_buckets)
         ids = np.zeros((nb, lt), np.int64)
         am = np.zeros((nb, lt), np.int64)
         tt = np.zeros((nb, lt), np.int64)

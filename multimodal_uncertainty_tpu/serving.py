@@ -107,7 +107,9 @@ class FusionPredictor:
         self.pad_multiple = pad_multiple
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
-        self.temperature = float(temperature)
+        # baked into every compiled batch bucket at trace time — retuning
+        # means building a new predictor, not mutating this attribute
+        self.temperature = temperature = float(temperature)
         self.batch_multiple = 1
 
         def _forward(variables, img, txt, img_mask, txt_mask):
@@ -118,7 +120,7 @@ class FusionPredictor:
                 )
             # per-head tempering BEFORE the head average keeps every member
             # a proper distribution (analysis/calibration.py semantics)
-            logits = logits.astype(jnp.float32) / self.temperature
+            logits = logits.astype(jnp.float32) / temperature
             probs = jax.nn.softmax(logits, axis=-1)
             return probs.mean(axis=1)  # ensemble-mean over heads
 
@@ -221,13 +223,14 @@ class ViltPredictor:
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
-        self.temperature = float(temperature)
+        # baked at trace time (see FusionPredictor)
+        self.temperature = temperature = float(temperature)
         self.batch_multiple = 1
 
         def _forward(variables, batch):
             with _quant_ctx(quantize):
                 out = model.apply(variables, batch, train=False)
-            logits = out.logits.astype(jnp.float32) / self.temperature
+            logits = out.logits.astype(jnp.float32) / temperature
             return jax.nn.softmax(logits, axis=-1)
 
         if mesh is None:
@@ -308,7 +311,8 @@ class MMBTPredictor:
         self.model = model
         self.batch_buckets = sorted(batch_buckets)
         self.quantize = quantize
-        self.temperature = float(temperature)
+        # baked at trace time (see FusionPredictor)
+        self.temperature = temperature = float(temperature)
         self.batch_multiple = 1
 
         def _forward(variables, txt, mask, segment, img, keep_mask):
@@ -317,7 +321,7 @@ class MMBTPredictor:
                     variables, (txt, mask, segment, img), train=False,
                     seq_keep_mask=keep_mask,
                 )
-            logits = logits.astype(jnp.float32) / self.temperature
+            logits = logits.astype(jnp.float32) / temperature
             return jax.nn.softmax(logits, axis=-1)
 
         if mesh is None:

@@ -654,3 +654,104 @@ def test_artifact_integrity_check(tmp_path):
     with pytest.raises(ValueError, match="integrity"):
         load_exported(art)
     load_exported(art, verify=False)  # explicit override still loads
+
+
+class _RecordingArtifact:
+    """Proxy over a loaded artifact recording the batch size of every
+    program invocation (the shape the jit compiles for)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.meta = inner.meta
+        self.batch_sizes = []
+        self.length_shapes = []
+
+    def __call__(self, *inputs):
+        self.batch_sizes.append(int(np.shape(inputs[0])[0]))
+        self.length_shapes.append(tuple(np.shape(a)[1] for a in inputs[:2]))
+        return self.inner(*inputs)
+
+
+def test_artifact_batcher_pads_symbolic_batch_to_buckets(tmp_path):
+    """ADVICE r3: symbolic-batch artifacts must NOT run at the exact
+    coalesced size (every new arrival count would trigger a fresh XLA
+    compile under the loader's jit) — they pad to serving-style buckets
+    and slice back."""
+    from multimodal_uncertainty_tpu.export import fusion_artifact_micro_batcher
+
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact_buckets")
+    export_fusion_predictor(pred, art, img_len=8, txt_len=8, embed_dim=D)
+    rec = _RecordingArtifact(load_exported(art))
+    mb = fusion_artifact_micro_batcher(rec, batch_buckets=(4, 8))
+    try:
+        rng = np.random.default_rng(21)
+        samples = [
+            (rng.normal(size=(5, D)).astype(np.float32),
+             rng.normal(size=(4, D)).astype(np.float32))
+            for _ in range(7)
+        ]
+        # three distinct arrival counts -> ONE program shape (bucket 4)
+        for k in (1, 2, 3):
+            out = mb.predict_batch(samples[:k])
+            assert len(out) == k
+        assert rec.batch_sizes == [4, 4, 4]
+        # larger coalesced batch moves to the next bucket, results correct
+        out = mb.predict_batch(samples)
+        assert rec.batch_sizes[-1] == 8
+        direct = pred.predict(
+            np.stack([s[0] for s in samples]),
+            np.stack([s[1] for s in samples]),
+        )
+        np.testing.assert_allclose(np.stack(out), direct, atol=1e-5)
+    finally:
+        mb.close()
+
+
+def test_artifact_batcher_symbolic_lengths_accepts_long_samples(tmp_path):
+    """ADVICE r3: with symbolic_lengths=True the baked img_len/txt_len are
+    documentation-only — samples LONGER than them must serve, padded to
+    the coalesced batch's max lengths (rounded to pad_multiple)."""
+    from multimodal_uncertainty_tpu.export import fusion_artifact_micro_batcher
+
+    pred = _make_pred(tmp_path)
+    art = os.path.join(tmp_path, "artifact_symlen")
+    export_fusion_predictor(
+        pred, art, img_len=8, txt_len=8, embed_dim=D, symbolic_lengths=True
+    )
+    rec = _RecordingArtifact(load_exported(art))
+    mb = fusion_artifact_micro_batcher(rec, batch_buckets=(4,), pad_multiple=8)
+    try:
+        rng = np.random.default_rng(22)
+        long_img = rng.normal(size=(13, D)).astype(np.float32)  # > baked 8
+        long_txt = rng.normal(size=(9, D)).astype(np.float32)   # > baked 8
+        (probs,) = mb.predict_batch([(long_img, long_txt)])
+        assert probs.shape == (3,)
+        assert rec.length_shapes[-1] == (16, 16)  # rounded up, not baked
+        direct = pred.predict(long_img[None], long_txt[None])[0]
+        np.testing.assert_allclose(probs, direct, atol=1e-5)
+    finally:
+        mb.close()
+
+    # fixed-length artifacts still reject over-long samples
+    art2 = os.path.join(tmp_path, "artifact_fixedlen")
+    export_fusion_predictor(pred, art2, img_len=8, txt_len=8, embed_dim=D)
+    mb2 = fusion_artifact_micro_batcher(load_exported(art2))
+    try:
+        with pytest.raises(Exception, match="exceeds"):
+            mb2.predict_batch([(long_img, long_txt)])
+    finally:
+        mb2.close()
+
+
+def test_predictor_temperature_is_baked_at_trace_time(tmp_path):
+    """serving ADVICE r3: temperature is captured at __init__ — mutating
+    predictor.temperature afterwards must not change results (no
+    inconsistent per-bucket tempering)."""
+    pred = _make_pred(tmp_path, temperature=2.5)
+    rng = np.random.default_rng(23)
+    img = rng.normal(size=(2, 5, D)).astype(np.float32)
+    txt = rng.normal(size=(2, 4, D)).astype(np.float32)
+    before = pred.predict(img, txt)
+    pred.temperature = 0.1  # post-hoc mutation: a no-op by contract
+    np.testing.assert_array_equal(pred.predict(img, txt), before)

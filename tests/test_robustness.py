@@ -392,3 +392,16 @@ def test_concat_maybe_memmap_file_identical_to_np_save(tmp_path):
     np.testing.assert_array_equal(
         concat_maybe_memmap(parts, axis=0), np.concatenate(parts, axis=0)
     )
+
+
+def test_concat_maybe_memmap_promotes_heterogeneous_dtypes(tmp_path):
+    """ADVICE r3: mixed-dtype blocks must promote like np.concatenate
+    (parts[0].dtype alone silently downcast later float64 blocks)."""
+    from multimodal_uncertainty_tpu.evals.artifacts import concat_maybe_memmap
+
+    a = np.arange(4, dtype=np.float32).reshape(2, 2)
+    b = (np.arange(4, dtype=np.float64) + 0.123456789012345).reshape(2, 2)
+    ref = np.concatenate([a, b], axis=0)
+    out = concat_maybe_memmap([a, b], axis=0, path=str(tmp_path / "x.npy"))
+    assert out.dtype == ref.dtype == np.float64
+    np.testing.assert_array_equal(np.load(tmp_path / "x.npy"), ref)
