@@ -13,6 +13,7 @@ legacy per-file layout is still readable (``FlavaEncodedDataset``) and a
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Callable, List, Tuple
@@ -203,7 +204,14 @@ def get_dataset_flava(args, datapath: str):
     training, dev, testing = make("train"), make("dev"), make("test")
     from multimodal_uncertainty_tpu.data.loaders import subset_then_loaders
 
-    return subset_then_loaders(training, dev, testing, collate_fn_flava, args)
+    collate = collate_fn_flava
+    pad = getattr(args, "seq_pad_multiple", None)
+    if pad:
+        # sequence parallelism (train.py --sequence_parallel): each modality
+        # pads to 128*sp so the concatenated img+txt sequence divides into
+        # 128-multiple ring shards (ops/ring.py requirement)
+        collate = functools.partial(collate_fn_flava, pad_multiple=int(pad))
+    return subset_then_loaders(training, dev, testing, collate, args)
 
 
 def _simple_args(labels, error_cases_remover, name_extractor, batch_size,

@@ -1676,6 +1676,55 @@ def _flash_sharded(n_head: int, interpret: bool):
 
 _SHARDED_IMPLS = ("pallas_sharded", "pallas_interpret_sharded")
 
+# --- sequence parallelism (ring attention) routing ------------------------
+# attn_impl='ring' sends the model's attention through ops/ring.py: the
+# sequence shards over a mesh axis and K/V blocks rotate the ICI ring
+# (lax.ppermute) with exact log-sum-exp merging. The mesh is process-global
+# run configuration (like the distributed runtime itself), registered once
+# by the launcher (train.py --sequence_parallel) rather than threaded
+# through every model attribute.
+_RING_IMPLS = ("ring", "ring_interpret")
+_ring_cfg = {"mesh": None, "seq_axis": "seq", "batch_axis": "data"}
+
+
+def configure_ring_mesh(mesh, *, seq_axis: str = "seq",
+                        batch_axis: str = "data") -> None:
+    """Register the mesh that ``attn_impl='ring'`` shard_maps over.
+
+    ``mesh`` must carry ``seq_axis``; the batch additionally shards over
+    ``batch_axis`` when the mesh has it (each data slice runs its own
+    independent ring). Pass ``mesh=None`` to deactivate. Call BEFORE model
+    init: flax's ``init`` traces the forward, which routes through the
+    ring the moment the impl is 'ring'."""
+    if mesh is not None and seq_axis not in mesh.axis_names:
+        raise ValueError(
+            f"configure_ring_mesh: mesh {dict(mesh.shape)} has no "
+            f"'{seq_axis}' axis"
+        )
+    _ring_cfg.update(mesh=mesh, seq_axis=seq_axis, batch_axis=batch_axis)
+
+
+def _ring_route(q, k, v, key_mask, n_head: int, interpret: bool):
+    from multimodal_uncertainty_tpu.ops.ring import ring_attention_sharded
+
+    mesh = _ring_cfg["mesh"]
+    if mesh is None:
+        raise ValueError(
+            "attn_impl='ring' requires a registered sequence mesh: call "
+            "ops.attention.configure_ring_mesh(mesh) (train.py does this "
+            "for --sequence_parallel > 1) before building/initializing "
+            "the model"
+        )
+    batch_axis = _ring_cfg["batch_axis"]
+    if batch_axis not in mesh.axis_names or mesh.shape[batch_axis] <= 1:
+        batch_axis = None
+    run = ring_attention_sharded(
+        mesh, n_head=n_head, seq_axis=_ring_cfg["seq_axis"],
+        batch_axis=batch_axis, interpret=interpret,
+    )
+    return run(q, k, v, key_mask)
+
+
 def _flash_available(s128, bw, dh, itemsize) -> bool:
     """Whether ANY flash tiling (resident or streaming) exists for this
     128-multiple S — true for every valid shape since the streaming kernels
@@ -1734,6 +1783,10 @@ def attention_qkv_packed(
     d = d3 // 3
     dh = d // n_head
     bw = _hl_block_width(dh)
+    if impl in _RING_IMPLS:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _ring_route(q, k, v, key_mask, n_head,
+                           impl == "ring_interpret")
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if (
@@ -1783,6 +1836,9 @@ def attention_heads_last(
     assert d % n_head == 0, (d, n_head)
     dh = d // n_head
     bw = _hl_block_width(dh)
+    if impl in _RING_IMPLS:
+        return _ring_route(q, k, v, key_mask, n_head,
+                           impl == "ring_interpret")
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if impl in ("flash", "flash_interpret"):

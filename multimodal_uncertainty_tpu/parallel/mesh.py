@@ -18,11 +18,27 @@ def make_mesh(
     n_devices: Optional[int] = None,
     *,
     model_parallel: int = 1,
-    axis_names: Sequence[str] = ("data", "model"),
+    sequence_parallel: int = 1,
+    axis_names: Optional[Sequence[str]] = None,
 ) -> Mesh:
+    """``sequence_parallel > 1`` adds a third 'seq' axis for ring attention
+    (ops/ring.py): sequence shards rotate K/V around that axis's ICI ring.
+    Keep it the mesh's MINOR (fastest-varying) axis so ring neighbors are
+    ICI neighbors."""
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
-    assert n % model_parallel == 0, (n, model_parallel)
-    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, axis_names=tuple(axis_names))
+    assert n % (model_parallel * sequence_parallel) == 0, (
+        n, model_parallel, sequence_parallel,
+    )
+    if sequence_parallel > 1:
+        names = tuple(axis_names or ("data", "model", "seq"))
+        grid = np.asarray(devices).reshape(
+            n // (model_parallel * sequence_parallel),
+            model_parallel,
+            sequence_parallel,
+        )
+    else:
+        names = tuple(axis_names or ("data", "model"))
+        grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=names)

