@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_uncertainty_tpu.models.layers import Linear
-from multimodal_uncertainty_tpu.ops.attention import attention_heads_last
+from multimodal_uncertainty_tpu.ops.attention import (
+    attention_heads_last,
+    attention_probs_dropout,
+)
 from multimodal_uncertainty_tpu.ops.norms import layer_norm
 
 
@@ -34,7 +37,9 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     hidden_dropout_prob: float = 0.1
-    attention_probs_dropout_prob: float = 0.1
+    # 0 keeps attention a single fused kernel (documented deviation from
+    # torch BERT's 0.1); >0 = opt-in reference-exact parity training
+    attention_probs_dropout_prob: float = 0.0
     layer_norm_eps: float = 1e-12
 
     @staticmethod
@@ -98,9 +103,18 @@ class BertSelfAttention(nn.Module):
         q = Linear(d, name="query")(x)
         k = Linear(d, name="key")(x)
         v = Linear(d, name="value")(x)
-        # Documented deviation: attention-PROB dropout (0.1 in torch BERT) is
-        # omitted so attention stays a single fused kernel; the hidden-state
-        # dropouts on the residual paths are kept. Identical at eval.
+        # attention-PROB dropout (0.1 in torch BERT) defaults OFF so
+        # attention stays a single fused kernel; setting
+        # config.attention_probs_dropout_prob > 0 (train.py
+        # --attention_probs_dropout) opts into the reference-exact
+        # TRAINING regularizer via the XLA path. Eval is identical either
+        # way (dropout is train-only), so eval always takes the kernel.
+        p = c.attention_probs_dropout_prob
+        if train and p > 0.0:
+            return attention_probs_dropout(
+                q, k, v, key_mask, n_head=h, rate=p,
+                rng=self.make_rng("dropout"),
+            )
         # Heads stay packed in the last dim; split happens inside the kernel.
         return attention_heads_last(q, k, v, key_mask, n_head=h, impl=self.attn_impl)
 

@@ -34,7 +34,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_uncertainty_tpu.models.layers import LayerNormFP32, Linear
-from multimodal_uncertainty_tpu.ops.attention import attention_qkv_packed
+from multimodal_uncertainty_tpu.ops.attention import (
+    attention_probs_dropout,
+    attention_qkv_packed,
+)
 from multimodal_uncertainty_tpu.ops.losses import softmax_cross_entropy
 
 
@@ -52,6 +55,9 @@ class ViltConfig:
     num_labels: int = 2
     num_images: int = 1
     dropout: float = 0.0
+    # >0 = opt-in reference-exact parity training (HF ViLT trains with
+    # attention-prob dropout); 0 keeps attention one fused kernel
+    attention_probs_dropout_prob: float = 0.0
     layer_norm_eps: float = 1e-12
     dtype: str = "float32"  # "bfloat16" for speed (params stay fp32)
 
@@ -77,8 +83,20 @@ class ViTBlock(nn.Module):
         h = c.num_attention_heads
         y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_1")(x)
         qkv = Linear(3 * d, name="qkv")(y)
-        # heads stay packed; q/k/v split + head split happen inside the kernel
-        attn = attention_qkv_packed(qkv, key_mask, n_head=h, impl=self.attn_impl)
+        p = c.attention_probs_dropout_prob
+        if train and p > 0.0:
+            # opt-in parity training mode (see models/bert.py): dropout on
+            # the attention probabilities via the XLA path
+            q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+            attn = attention_probs_dropout(
+                q_, k_, v_, key_mask, n_head=h, rate=p,
+                rng=self.make_rng("dropout"),
+            )
+        else:
+            # heads stay packed; q/k/v split + head split inside the kernel
+            attn = attention_qkv_packed(
+                qkv, key_mask, n_head=h, impl=self.attn_impl
+            )
         x = x + Linear(d, name="proj")(attn)
         y = LayerNormFP32(eps=c.layer_norm_eps, name="ln_2")(x)
         y = Linear(c.intermediate_size, name="fc1")(y)

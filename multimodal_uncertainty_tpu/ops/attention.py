@@ -64,6 +64,52 @@ def sdpa_xla(
     ).astype(q.dtype)
 
 
+def attention_probs_dropout(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    n_head: int,
+    rate: float,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention with dropout on the attention PROBABILITIES — the torch
+    BERT training regularizer (reference ``src/mmbt.py:86-234`` runs
+    ``pytorch_pretrained_bert``'s BertModel, attention_probs_dropout_prob
+    0.1). The fused kernels deliberately omit it to keep attention one
+    Pallas call (DEVIATIONS.md); this heads-packed (B, S, D) XLA path is
+    the opt-in exact-parity TRAINING mode so real-data parity runs can
+    reproduce the reference regime. ``rate=0`` reproduces
+    :func:`sdpa_xla` exactly (eval is always kernel-eligible: dropout is
+    train-only)."""
+    b, s, d = q.shape
+    assert d % n_head == 0, (d, n_head)
+    dh = d // n_head
+
+    def heads(t):
+        return t.reshape(b, s, n_head, dh).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", heads(q), heads(k),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if key_mask is not None:
+        scores = scores + _mask_bias(key_mask)[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    if rate > 0.0:
+        if rng is None:
+            raise ValueError("attention_probs_dropout: rate > 0 needs rng")
+        keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), heads(v),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------

@@ -119,6 +119,12 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                                  "ring", "ring_interpret"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (flava/mmbt paths)")
+    parser.add_argument("--attention_probs_dropout", type=float, default=0.0,
+                        help="mmbt/vilt: dropout on the attention "
+                             "PROBABILITIES during training (torch BERT "
+                             "default 0.1) — the opt-in reference-exact "
+                             "parity regime; 0 (default) keeps attention "
+                             "one fused kernel. Eval-identical either way")
     # guided/random diversity training signal (training_guided.gin /
     # training_random.gin intent — see ops/diversity.py)
     parser.add_argument("--diversity", type=str, default="none",
@@ -349,6 +355,13 @@ def main():
             )
             resnet_layers = (3, 8, 36, 3)
 
+        if args.attention_probs_dropout > 0:
+            import dataclasses as _dc
+
+            bert_cfg = _dc.replace(
+                bert_cfg,
+                attention_probs_dropout_prob=args.attention_probs_dropout,
+            )
         setup = zoo.setup_mmbt(
             n_classes=n_classes,
             lr=args.lr,
@@ -383,6 +396,18 @@ def main():
                 ViltConfig.b32(), hidden_size=64, num_hidden_layers=2,
                 num_attention_heads=2, intermediate_size=128,
                 num_labels=args.n_classes, image_size=384,
+            )
+        if args.attention_probs_dropout > 0:
+            import dataclasses as _dc
+
+            from multimodal_uncertainty_tpu.models.vilt import ViltConfig
+
+            base_cfg = vilt_cfg or _dc.replace(
+                ViltConfig.b32(), num_labels=args.n_classes
+            )
+            vilt_cfg = _dc.replace(
+                base_cfg,
+                attention_probs_dropout_prob=args.attention_probs_dropout,
             )
         setup = zoo.setup_vilt(
             n_classes=args.n_classes,
