@@ -81,6 +81,40 @@ def ensure_synthetic(data_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _calibrated_ece(save: str, model_type: str, extra_cmd=()) -> str:
+    """Fit-on-val / report-on-test ECE through analysis/calibration.py:
+    dump per-head logits with eval_prediction_saving, fit T on one half of
+    the split, report ECE before/after on the other half (the honest
+    protocol; the guard keeps T=1.0 when scaling would degrade ECE)."""
+    import numpy as np
+
+    from multimodal_uncertainty_tpu.analysis.calibration import (
+        calibration_report,
+    )
+
+    out = tempfile.mkdtemp(prefix="parity_preds_")
+    run([
+        sys.executable, "eval_prediction_saving.py",
+        "--checkpoint_path", os.path.join(save, "model_best_val.pt"),
+        "--save_path", out, "--model_type", model_type,
+        *(a for a in extra_cmd if a == "--synthetic"),
+    ])
+    preds_f = next(
+        f for f in os.listdir(out) if f.endswith("_predictions.npy")
+    )
+    logits = np.load(os.path.join(out, preds_f)).mean(axis=1)  # head-mean
+    labels = np.load(os.path.join(out, preds_f.replace(
+        "_predictions", "_labels")))
+    rep = calibration_report(
+        logits[0::2], labels[0::2], logits[1::2], labels[1::2]
+    )
+    tag = (f"T={rep['recommended_temperature']:.3f}"
+           + (" (guarded)" if rep["guard"] else ""))
+    return (f"ece={rep['ece_before']:.4f}->"
+            f"{rep['ece_after' if not rep['guard'] else 'ece_before']:.4f} "
+            f"{tag}")
+
+
 def config1_fashionmnist(args, data_dir):
     real = os.path.exists(
         os.path.join(data_dir, "FashionMNIST", "raw", "train-images-idx3-ubyte")
@@ -92,16 +126,19 @@ def config1_fashionmnist(args, data_dir):
             sys.executable, "train_fashionmnist.py",
             "--model_type", model_type, "--save_path", save,
             "--n_epochs", str(args.epochs), "--batch_size", "64",
-            "--lr", "0.05", "--seed", "7",
+            "--lr", "0.05", "--seed", "7", "--ece",
         ]
-        if not real:
-            cmd += ["--synthetic", "--sample_size", str(args.sample_size)]
-        run(cmd)
+        synth = [] if real else [
+            "--synthetic", "--sample_size", str(args.sample_size)
+        ]
+        run(cmd + synth)
         rows.append({
             "config": "1. FashionMNIST MIMO",
             "variant": model_type,
             "data": "REAL" if real else "SYNTHETIC (images absent from env)",
-            "metrics": f"best test_acc={best_history_val(save, 'test_acc'):.2f}",
+            "metrics": f"best test_acc={best_history_val(save, 'test_acc'):.2f} "
+                       f"test_ece={float(last_history_row(save)['test_ece']):.4f}; "
+                       + _calibrated_ece(save, model_type, synth),
             "artifacts": "history.csv " + sha256(os.path.join(save, "history.csv")),
         })
     return rows
@@ -124,6 +161,7 @@ def _mmbt_run(args, data_dir, modality, label):
         "--lr", "5e-5", "--gradient_accumulation_steps", "1",
         "--sample_size", str(args.sample_size), "--modality", modality,
         "--vocab_file", os.path.join(data_dir, "food101", "vocab.txt"),
+        "--ece",
     ]
     if real:
         cmd += ["--bert_weights", os.environ["BERT_WEIGHTS"]]
@@ -138,6 +176,7 @@ def _mmbt_run(args, data_dir, modality, label):
         "variant": f"modality={modality}",
         "data": "REAL" if real else f"SYNTHETIC ({'; '.join(note)})",
         "metrics": f"val_acc={float(last['val_acc']):.2f} "
+                   f"val_ece={float(last['val_ece']):.4f} "
                    f"loss={float(last['loss']):.3f}",
         "artifacts": "history.csv " + sha256(os.path.join(save, "history.csv")),
     }
@@ -167,7 +206,7 @@ def config4_diversity(args, data_dir):
             "--model_type", "MultiHead", "--n_epochs", str(args.epochs),
             "--batch_size", "16", "--lr", "1e-4",
             "--sample_size", str(args.sample_size),
-            "--diversity", div, "--diversity_coef", "0.1",
+            "--diversity", div, "--diversity_coef", "0.1", "--ece",
         ]
         run(cmd)
         last = last_history_row(save)
@@ -176,7 +215,8 @@ def config4_diversity(args, data_dir):
             "variant": div,
             "data": "REAL" if real else "SYNTHETIC (flava_embeds absent)",
             "metrics": f"val_auc={float(last.get('val_auc', 0) or 0):.3f} "
-                       f"val_acc={float(last['val_acc']):.2f}",
+                       f"val_acc={float(last['val_acc']):.2f} "
+                       f"val_ece={float(last['val_ece']):.4f}",
             "artifacts": "history.csv " + sha256(os.path.join(save, "history.csv")),
         })
     return rows
@@ -191,7 +231,7 @@ def config5_flava_robustness(args, data_dir):
         "--dataset", "hateful-meme-dataset", "--save_path", save,
         "--model_type", "MIMO-shuffle-instance",
         "--n_epochs", str(args.epochs), "--batch_size", "16",
-        "--lr", "1e-4", "--sample_size", str(args.sample_size),
+        "--lr", "1e-4", "--sample_size", str(args.sample_size), "--ece",
     ])
     last = last_history_row(save)
     # robustness sweep on the trained checkpoint (column contract:
@@ -214,7 +254,8 @@ def config5_flava_robustness(args, data_dir):
         "config": "5. FLAVA Hateful-Memes + robustness",
         "variant": "MIMO-shuffle-instance",
         "data": "REAL" if real and False else "SYNTHETIC (dataset absent)",
-        "metrics": f"val_auc={float(last.get('val_auc', 0) or 0):.3f}; "
+        "metrics": f"val_auc={float(last.get('val_auc', 0) or 0):.3f} "
+                   f"val_ece={float(last['val_ece']):.4f}; "
                    f"robustness tensor {preds.shape}",
         "artifacts": "; ".join(
             f"{f} {sha256(os.path.join(out_dir, f))}" for f in npys

@@ -60,6 +60,14 @@ def stage1_fashionmnist(out_dir, results_root, epochs, seeds):
         max_metric_csv,
     )
 
+    from multimodal_uncertainty_tpu.analysis.calibration import (
+        calibration_report,
+    )
+    from multimodal_uncertainty_tpu.ops.metrics import (
+        expected_calibration_error,
+        softmax_np,
+    )
+
     rows = []
     for strategy in STRATEGIES:
         for seed in range(seeds):
@@ -96,6 +104,17 @@ def stage1_fashionmnist(out_dir, results_root, epochs, seeds):
             div = (head_diversity(preds, labels)[0]
                    if preds.shape[1] > 1 else None)
             mv = missing_view_accuracy(rob, labels)
+            # ECE (north-star metric): head-mean ensemble probabilities,
+            # plus the calibrated value via the fit-on-half/report-on-half
+            # protocol (analysis/calibration.py guards T when scaling
+            # would degrade it)
+            logits_hm = preds.mean(axis=1)
+            ece = expected_calibration_error(softmax_np(logits_hm), labels)
+            rep = calibration_report(
+                logits_hm[0::2], labels[0::2], logits_hm[1::2], labels[1::2]
+            )
+            ece_cal = (rep["ece_after"] if not rep["guard"]
+                       else rep["ece_before"])
             rows.append({
                 "strategy": strategy, "seed": seed,
                 "ensemble_acc": 100 * acc["accuracy_overall"],
@@ -104,6 +123,10 @@ def stage1_fashionmnist(out_dir, results_root, epochs, seeds):
                 "kendall_tau": (round(div, 3) if div is not None
                                 else "n/a (1 head)"),
                 "missing_view_acc": [round(100 * a, 1) for a in mv],
+                "ece": round(ece, 4),
+                "ece_cal": (f"{ece_cal:.4f} "
+                            f"(T={rep['recommended_temperature']:.2f}"
+                            + (", guarded)" if rep["guard"] else ")")),
             })
             print(f"[study] fmnist {strategy} seed{seed}: "
                   f"ensemble_acc={100 * acc['accuracy_overall']:.1f}")
@@ -158,17 +181,28 @@ def stage2_flava_robustness(out_dir, results_root, data_dir, epochs):
     # 3..22 image controls, 23..42 text controls; head-mean then softmax p1
     from multimodal_uncertainty_tpu.ops.metrics import softmax_np
 
-    p = softmax_np(preds.mean(axis=2))[..., 1]  # (S, 43)
+    probs = softmax_np(preds.mean(axis=2))  # (S, 43, 2)
+    p = probs[..., 1]  # (S, 43)
     ori, image, text = p[:, 0], p[:, 1], p[:, 2]
     image_corr, text_corr = p[:, 3:23], p[:, 23:43]
     outcomes = (labels, ori, image, text, image_corr, text_corr)
 
     table = auc_table(labels, ori, image, text, image_corr, text_corr)
     corr = get_correlation(*outcomes)
+    # ECE per ablation variant (north-star metric alongside AUC): how
+    # calibration degrades when a modality goes missing
+    from multimodal_uncertainty_tpu.ops.metrics import (
+        expected_calibration_error,
+    )
+
+    ece_table = {
+        name: round(expected_calibration_error(probs[:, col], labels), 4)
+        for name, col in (("full", 0), ("image_only", 1), ("text_only", 2))
+    }
     histogram_by_group(*outcomes,
                        save_path=os.path.join(out_dir, "hm_dp_histogram.png"))
     visuals_per_model(outcomes, out_dir, "hm_dp_violin_scatter")
-    return table, corr
+    return table, corr, ece_table
 
 
 def main():
@@ -185,8 +219,9 @@ def main():
 
     t0 = time.time()
     rows = stage1_fashionmnist(args.out, results_root, args.epochs, args.seeds)
-    table, corr = stage2_flava_robustness(args.out, results_root, data_dir,
-                                          args.epochs)
+    table, corr, ece_table = stage2_flava_robustness(
+        args.out, results_root, data_dir, args.epochs
+    )
 
     lines = [
         "# Synthetic end-to-end study",
@@ -199,13 +234,15 @@ def main():
         "",
         "## Stage 1 — FashionMNIST 4-view, 6 strategies",
         "",
-        "| strategy | seed | ensemble acc | per-head acc | Kendall-tau | missing-view acc |",
-        "|---|---|---|---|---|---|",
+        "| strategy | seed | ensemble acc | per-head acc | Kendall-tau "
+        "| missing-view acc | ECE | ECE calibrated |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['strategy']} | {r['seed']} | {r['ensemble_acc']:.1f} "
-            f"| {r['head_accs']} | {r['kendall_tau']} | {r['missing_view_acc']} |"
+            f"| {r['head_accs']} | {r['kendall_tau']} | {r['missing_view_acc']} "
+            f"| {r['ece']} | {r['ece_cal']} |"
         )
     lines += [
         "",
@@ -221,6 +258,12 @@ def main():
         "",
         f"Δp correlation (experimental vs control): image={corr['image']:.3f},"
         f" text={corr['text']:.3f}",
+        "",
+        "ECE by ablation variant (head-mean ensemble probabilities):",
+        "",
+        "| variant | ECE |",
+        "|---|---|",
+        *[f"| {k} | {v} |" for k, v in ece_table.items()],
         "",
         "Figures: hm_dp_histogram.png, hm_dp_violin_scatter.png",
         "",

@@ -46,6 +46,9 @@ def get_args(parser):
     parser.add_argument("--diversity", type=str, default="none",
                         choices=["none", "guided", "random"])
     parser.add_argument("--diversity_coef", type=float, default=0.1)
+    parser.add_argument("--ece", action="store_true",
+                        help="record val/test expected calibration error "
+                             "per epoch in history.csv (north-star metric)")
 
 
 def main():
@@ -180,6 +183,7 @@ def main():
         scheduler_step_on="epoch",
         scheduler_metric=setup.scheduler_metric,
         auc=False,
+        ece=args.ece,
         preemption=guard,
         midtrain_path=midtrain_path,
         resume_mid=resume_mid,
