@@ -73,6 +73,12 @@ def best_history_val(save_path: str, col: str) -> float:
     return max(float(r[col]) for r in rows if r.get(col))
 
 
+def _sample(args):
+    """--sample_size 0 = full dataset (the real parity-run setting)."""
+    return ([] if args.sample_size == 0
+            else ["--sample_size", str(args.sample_size)])
+
+
 def ensure_synthetic(data_dir: str):
     if not os.path.exists(os.path.join(data_dir, "food101", "train.jsonl")):
         run([sys.executable, "tools/make_synthetic_dataset.py", "--root", data_dir])
@@ -128,9 +134,7 @@ def config1_fashionmnist(args, data_dir):
             "--n_epochs", str(args.epochs), "--batch_size", "64",
             "--lr", "0.05", "--seed", "7", "--ece",
         ]
-        synth = [] if real else [
-            "--synthetic", "--sample_size", str(args.sample_size)
-        ]
+        synth = [] if real else ["--synthetic", *_sample(args)]
         run(cmd + synth)
         rows.append({
             "config": "1. FashionMNIST MIMO",
@@ -159,7 +163,7 @@ def _mmbt_run(args, data_dir, modality, label):
         "--dataset", "food101", "--save_path", save,
         "--n_epochs", str(args.epochs), "--batch_size", "4",
         "--lr", "5e-5", "--gradient_accumulation_steps", "1",
-        "--sample_size", str(args.sample_size), "--modality", modality,
+        *_sample(args), "--modality", modality,
         "--vocab_file", os.path.join(data_dir, "food101", "vocab.txt"),
         "--ece",
     ]
@@ -204,8 +208,7 @@ def config4_diversity(args, data_dir):
             sys.executable, "train.py", "--framework", "flava",
             "--dataset", "hateful-meme-dataset", "--save_path", save,
             "--model_type", "MultiHead", "--n_epochs", str(args.epochs),
-            "--batch_size", "16", "--lr", "1e-4",
-            "--sample_size", str(args.sample_size),
+            "--batch_size", "16", "--lr", "1e-4", *_sample(args),
             "--diversity", div, "--diversity_coef", "0.1", "--ece",
         ]
         run(cmd)
@@ -231,7 +234,7 @@ def config5_flava_robustness(args, data_dir):
         "--dataset", "hateful-meme-dataset", "--save_path", save,
         "--model_type", "MIMO-shuffle-instance",
         "--n_epochs", str(args.epochs), "--batch_size", "16",
-        "--lr", "1e-4", "--sample_size", str(args.sample_size), "--ece",
+        "--lr", "1e-4", *_sample(args), "--ece",
     ])
     last = last_history_row(save)
     # robustness sweep on the trained checkpoint (column contract:
