@@ -152,18 +152,77 @@ class ViltModel(nn.Module):
             name="patch_embed",
         )(pixel_values)
         gh, gw = patches.shape[1], patches.shape[2]
+        # position table sized by the PRETRAINING grid (config image_size),
+        # exactly like HF — other input sizes interpolate below, so one
+        # imported checkpoint serves any resolution
+        g0 = c.image_size // c.patch_size
         img = patches.reshape(b, gh * gw, c.hidden_size)
         img_pos = self.param(
             "image_position_embeddings",
             init,
-            (gh * gw + 1, c.hidden_size),
+            (g0 * g0 + 1, c.hidden_size),
         )
         img_cls = self.param("image_cls", init, (1, 1, c.hidden_size))
+
+        # patch keep-mask + per-sample effective grid from pixel_mask.
+        # HF assumes a top-left-anchored rectangular valid region (its
+        # x_h/x_w are the mask's first column/row sums); same here. Patch
+        # granularity: any live pixel keeps the patch (HF nearest-resamples
+        # the mask — identical for patch-aligned rectangles).
+        if pixel_mask is not None:
+            if pixel_mask.ndim == 4:  # (B, 1, H, W)
+                pixel_mask = pixel_mask[:, 0]
+            pm = pixel_mask.reshape(b, gh, c.patch_size, gw, c.patch_size)
+            patch_keep = pm.max(axis=(2, 4)).reshape(b, gh, gw) > 0
+        else:
+            patch_keep = jnp.ones((b, gh, gw), bool)
+
+        if pixel_mask is None and (gh, gw) == (g0, g0):
+            pos = jnp.broadcast_to(
+                img_pos[None, 1:], (b, gh * gw, c.hidden_size)
+            )
+        else:
+            # HF ViltEmbeddings.visual_embed parity: bilinearly interpolate
+            # the g0 x g0 spatial positions to each sample's effective
+            # (h_i, w_i) patch grid, align_corners=True. TPU-native form:
+            # fixed (gh, gw) output with traced per-sample sample coords —
+            # no dynamic shapes; positions past (h_i, w_i) are clamped
+            # garbage under an attention mask (HF zero-pads them; masked
+            # either way). Where HF then randomly SUBSAMPLES valid patches
+            # past max_image_length, we keep the full masked set — exact,
+            # never information-lossy (DEVIATIONS.md).
+            grid_pos = img_pos[1:].reshape(g0, g0, c.hidden_size)
+            h_i = patch_keep[:, :, 0].sum(axis=1).astype(jnp.float32)
+            w_i = patch_keep[:, 0, :].sum(axis=1).astype(jnp.float32)
+
+            def coords(n_out, eff):
+                s = (jnp.arange(n_out, dtype=jnp.float32)[None]
+                     * (g0 - 1) / jnp.maximum(eff[:, None] - 1.0, 1.0))
+                s = jnp.clip(s, 0.0, g0 - 1.0)
+                lo = jnp.floor(s).astype(jnp.int32)
+                hi = jnp.minimum(lo + 1, g0 - 1)
+                return lo, hi, s - lo
+
+            r0, r1, fr = coords(gh, h_i)  # (b, gh)
+            c0, c1, fc = coords(gw, w_i)  # (b, gw)
+
+            def gat(r, cc):  # -> (b, gh, gw, D)
+                return grid_pos[r[:, :, None], cc[:, None, :]]
+
+            wr0, wr1 = (1.0 - fr)[..., None, None], fr[..., None, None]
+            wc0, wc1 = (1.0 - fc)[:, None, :, None], fc[:, None, :, None]
+            pos = (gat(r0, c0) * wr0 * wc0 + gat(r0, c1) * wr0 * wc1
+                   + gat(r1, c0) * wr1 * wc0 + gat(r1, c1) * wr1 * wc1)
+            pos = pos.reshape(b, gh * gw, c.hidden_size)
+
+        img = img + pos
         img = jnp.concatenate(
-            [jnp.broadcast_to(img_cls, (b, 1, c.hidden_size)), img], axis=1
+            [jnp.broadcast_to(img_cls + img_pos[0], (b, 1, c.hidden_size)),
+             img],
+            axis=1,
         )
-        img = img + img_pos[None]
         img = nn.Dropout(c.dropout, deterministic=not train)(img)
+        patch_keep = patch_keep.reshape(b, gh * gw)
 
         # ---- modality-type embeddings (HF ViltEmbeddings PART 3: a table
         # SEPARATE from the text token-type table; text=0, image=1) ----------
@@ -176,14 +235,6 @@ class ViltModel(nn.Module):
         x = jnp.concatenate([txt, img], axis=1)
         if c.dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
-        if pixel_mask is not None:
-            if pixel_mask.ndim == 4:  # (B, 1, H, W)
-                pixel_mask = pixel_mask[:, 0]
-            # coarse patch keep-mask: a patch is kept if any pixel is valid
-            pm = pixel_mask.reshape(b, gh, c.patch_size, gw, c.patch_size)
-            patch_keep = pm.max(axis=(2, 4)).reshape(b, gh * gw) > 0
-        else:
-            patch_keep = jnp.ones((b, gh * gw), bool)
         mask = jnp.concatenate(
             [
                 attention_mask.astype(bool),
