@@ -516,17 +516,19 @@ def _end2end_stats(fn, runs=3):
 
 
 def _device_ms_from_trace(trace_dir: str) -> float:
-    """Total device-stream busy time (ms) in a jax.profiler trace: the sum
-    of X-event durations on the busiest device pid. Wall clock through the
-    axon tunnel swings 2-70x; the device stream is the stable signal
-    (BASELINE.md measurement notes)."""
+    """Device busy time (ms) in a jax.profiler trace: the UNION of X-event
+    intervals on the busiest device pid. Union, not sum — trace events
+    nest (op hierarchies), so summing durations double-counts parents
+    over children (measured ~3x inflation on the flagship step). Wall
+    clock through the axon tunnel swings 2-70x; the device stream is the
+    stable signal (BASELINE.md measurement notes)."""
     import collections
     import glob
     import gzip
     import json as _json
 
     pid_names = {}
-    totals = collections.Counter()
+    intervals = collections.defaultdict(list)  # pid -> [(ts, te)]
     for f in glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True):
         with gzip.open(f, "rt") as fh:
             data = _json.load(fh)
@@ -535,11 +537,29 @@ def _device_ms_from_trace(trace_dir: str) -> float:
                 pid_names[e["pid"]] = e["args"].get("name", "")
         for e in data.get("traceEvents", []):
             if e.get("ph") == "X":
-                totals[pid_names.get(e["pid"], str(e["pid"]))] += e.get("dur", 0)
-    dev = {k: v for k, v in totals.items()
-           if "TPU" in k or "tpu" in k.lower() or "/device" in k.lower()}
+                ts = e.get("ts", 0)
+                intervals[e["pid"]].append((ts, ts + e.get("dur", 0)))
+
+    def union_us(spans):
+        spans.sort()
+        total, cur_s, cur_e = 0, None, None
+        for s, t in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, t
+            else:
+                cur_e = max(cur_e, t)
+        if cur_e is not None:
+            total += cur_e - cur_s
+        return total
+
+    busy = {pid: union_us(sp) for pid, sp in intervals.items()}
+    dev = {p: v for p, v in busy.items()
+           if any(tag in pid_names.get(p, "").lower()
+                  for tag in ("tpu", "/device"))}
     if not dev:
-        dev = totals  # CPU backend: no device pid; report the busiest
+        dev = busy  # CPU backend: no device pid; report the busiest
     return max(dev.values()) / 1e3 if dev else 0.0
 
 

@@ -63,6 +63,18 @@ python predict.py \
 test -f /tmp/mmu_unitest/$name/artifact_fixed/fn.stablehlo
 grep -q '"fixed_batch": 4' /tmp/mmu_unitest/$name/artifact_fixed/meta.json
 
+# sequence parallelism through the CLI: ring attention over a
+# data=2 x seq=2 virtual mesh (collate pads img+txt to 128*2 shards)
+name="flava_hm_seqparallel"
+XLA_FLAGS="--xla_force_host_platform_device_count=4" python train.py \
+  --framework flava --dataset hateful-meme-dataset \
+  --model_type MIMO-shuffle-instance --save_path /tmp/mmu_unitest/$name \
+  --sample_size 32 --n_epochs 1 --batch_size 8 --lr 1e-3 \
+  --data_parallel 2 --sequence_parallel 2 \
+  --multimodal_num_attention_heads 6 --multimodal_num_hidden_layers 1 \
+  > unitest/out/$name.txt 2> unitest/error/$name.txt
+test -f /tmp/mmu_unitest/$name/history.csv
+
 # (temperature-scaling calibration is smoked in unitest/fashionmnist.sh
 # on the eval_prediction_saving dumps)
 echo "flava smoke matrix OK"
