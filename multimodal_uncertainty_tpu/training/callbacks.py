@@ -116,9 +116,13 @@ class LambdaCallback(Callback):
 
 
 class ModelCheckpoint(Callback):
-    """Best-metric checkpointing (reference ``src/callbacks.py:188-254``).
+    """Best-metric checkpointing — ported for API compat (restyled from the
+    reference ``src/callbacks.py:188-254``, itself Keras/Poutyne-derived).
 
-    Reads the model/opt state from the trainer at save time.
+    The mode-inference heuristics ("acc"/"fmeasure" -> max) and the verbose
+    print strings are kept byte-compatible on purpose: tooling that parses
+    the reference's console output keeps working. Reads the model/opt state
+    from the trainer at save time.
     """
 
     def __init__(self, filepath, monitor="val_loss", verbose=0,
