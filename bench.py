@@ -241,7 +241,8 @@ def _synth_food101_raw(root: str, n: int, px: int = 512, seed: int = 0):
             f.write(tok + "\n")
 
 
-def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
+def _measure_pipeline(loader, put_and_step, resident_step, steps, batch,
+                      put_fn=None):
     """Shared measurement harness. Returns the breakdown dict."""
     import time as _t
 
@@ -264,7 +265,7 @@ def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
     # dispatch on the main thread — all three stages run concurrently.
     from multimodal_uncertainty_tpu.data.loaders import DevicePrefetcher
 
-    it = iter(DevicePrefetcher(_cycle(loader)))
+    it = iter(DevicePrefetcher(_cycle(loader), put_fn=put_fn))
     x, y = next(it)
     float(put_and_step(x, y))  # warmup; barrier so t0 excludes its chain
     t0 = _t.perf_counter()
@@ -287,7 +288,7 @@ def _measure_pipeline(loader, put_and_step, resident_step, steps, batch):
     }
 
 
-def bench_end2end_flava(batch=128, steps=5, workers=0):
+def bench_end2end_flava(batch=128, steps=5, workers=0, transfer_quant=False):
     import tempfile
 
     import jax
@@ -318,6 +319,14 @@ def bench_end2end_flava(batch=128, steps=5, workers=0):
     state_box = [setup.state]
     key_ctr = [0]
 
+    qput = None
+    if transfer_quant:
+        from multimodal_uncertainty_tpu.data.transfer_quant import (
+            Int8TransferPut,
+        )
+
+        qput = Int8TransferPut()
+
     def put_and_step(x, yy):
         key_ctr[0] += 1
         im, tx = jax.device_put(x[0]), jax.device_put(x[1])
@@ -345,9 +354,18 @@ def bench_end2end_flava(batch=128, steps=5, workers=0):
         red = jax.jit(lambda a, b: a.astype(jnp.float32).sum()
                       + b.astype(jnp.float32).sum())
         float(red(im, tx))  # compile
-        t0 = _t.perf_counter()
-        for _ in range(2):
-            float(red(jax.device_put(x[0]), jax.device_put(x[1])))
+        if qput is not None:
+            # transfer stage = host quantize + int8 wire + device dequant
+            warm = qput((x, yy))
+            float(red(warm[0][0], warm[0][1]))
+            t0 = _t.perf_counter()
+            for _ in range(2):
+                out = qput((x, yy))
+                float(red(out[0][0], out[0][1]))
+        else:
+            t0 = _t.perf_counter()
+            for _ in range(2):
+                float(red(jax.device_put(x[0]), jax.device_put(x[1])))
         transfer_sps = 2 * len(yy) / (_t.perf_counter() - t0)
         return step_sps, transfer_sps
 
@@ -366,8 +384,14 @@ def bench_end2end_flava(batch=128, steps=5, workers=0):
         once()  # ensure compiled before tracing
         return _traced_step_sps(once, 6, len(yy))
 
-    out = _measure_pipeline(loader, put_and_step, resident_step, steps, batch)
+    out = _measure_pipeline(loader, put_and_step, resident_step, steps, batch,
+                            put_fn=qput)
     out["bytes_per_batch_mb"] = round((img.nbytes + txt.nbytes) / 1e6, 1)
+    if transfer_quant:
+        wire = (img.size + txt.size) * 1  # int8 payload
+        wire += (img.shape[0] * img.shape[1] + txt.shape[0] * txt.shape[1]) * 4
+        out["bytes_per_batch_mb_wire"] = round(wire / 1e6, 1)
+        out["transfer_quant"] = "int8"
     try:
         out["device_trace_step_sps"] = traced_step_sps()
     except Exception as exc:  # noqa: BLE001 — trace support is best-effort
@@ -604,8 +628,9 @@ def main_end2end():
         batch = int(_arg_after("--batch", "128"))
         steps = int(_arg_after("--steps", "20"))
         res = _end2end_stats(
-            lambda: bench_end2end_flava(batch=batch, steps=steps,
-                                        workers=workers), runs)
+            lambda: bench_end2end_flava(
+                batch=batch, steps=steps, workers=workers,
+                transfer_quant="--transfer_quant" in sys.argv), runs)
     else:
         batch = int(_arg_after("--batch", "32"))
         steps = int(_arg_after("--steps", "20"))
@@ -647,6 +672,15 @@ def main():
                 lambda: bench_end2end_flava(batch=64, steps=20))
         except Exception as exc:  # noqa: BLE001 — report, don't fail bench
             line["end2end_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        try:
+            # same pipeline with --transfer_quant int8: the wire (not the
+            # host or the chip) bounds this path here, so halving the
+            # transferred bytes is the end-to-end lever (BASELINE.md)
+            line["end2end_flava_q8"] = _end2end_stats(
+                lambda: bench_end2end_flava(batch=64, steps=20,
+                                            transfer_quant=True))
+        except Exception as exc:  # noqa: BLE001
+            line["end2end_q8_error"] = f"{type(exc).__name__}: {exc}"[:200]
         try:
             # production decode mode (native batch decode; PIL-path numbers
             # and the parity caveat live in BASELINE.md / DEVIATIONS.MD).

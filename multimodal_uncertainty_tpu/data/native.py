@@ -98,6 +98,12 @@ def _bind(lib) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.mmu_quantize_rows_int8.restype = None
+    lib.mmu_quantize_rows_int8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_float),
+    ]
 
 
 def native_available() -> bool:
@@ -160,6 +166,40 @@ def native_decode_resize_crop_batch(
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, [i for i in range(n) if rcs[i] != 0]
+
+
+def native_quantize_rows(x: np.ndarray, n_threads: int = 0):
+    """Per-row (trailing axis) symmetric int8 quantization in C++ — the
+    fast path of ``data/transfer_quant.quantize_rows`` (bit-identical to its
+    numpy fallback, row-threaded, GIL released). Accepts float32 or
+    ml_dtypes.bfloat16 arrays with ``ndim >= 1``. Returns ``(q, scale)``
+    with ``q`` int8 of ``x.shape`` and ``scale`` fp32 of
+    ``x.shape[:-1] + (1,)``, or ``None`` when the native library is
+    unavailable or the dtype is unsupported."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    if x.dtype == np.float32:
+        code = 0
+    elif x.dtype.itemsize == 2 and x.dtype.kind in "Vf":  # ml_dtypes bf16
+        import ml_dtypes
+
+        if x.dtype != np.dtype(ml_dtypes.bfloat16):
+            return None
+        code = 1
+    else:
+        return None
+    x = np.ascontiguousarray(x)
+    d = x.shape[-1]
+    rows = x.size // d
+    q = np.empty(x.shape, np.int8)
+    scale = np.empty(x.shape[:-1] + (1,), np.float32)
+    lib.mmu_quantize_rows_int8(
+        x.ctypes.data_as(ctypes.c_void_p), code, rows, d, n_threads,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return q, scale
 
 
 class NativeTokenizer:

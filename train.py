@@ -93,6 +93,13 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                         help="background-thread host->device transfer of "
                              "upcoming batches (overlaps with the running "
                              "step)")
+    parser.add_argument("--transfer_quant", choices=["none", "int8"],
+                        default="none",
+                        help="ship floating embedding batches to the chip "
+                             "as int8 + per-token scales and dequantize on "
+                             "device: 0.5x the transfer bytes of bf16 "
+                             "shards (0.25x of f32). Lossy (int8 rounding), "
+                             "opt-in — see DEVIATIONS.md")
     parser.add_argument("--checkpoint_every_steps", type=int, default=None,
                         help="also write a mid-epoch recovery checkpoint "
                              "(model_midtrain.pt) every N batches; SIGTERM "
@@ -568,6 +575,15 @@ def main():
         else:
             put_batch = put_batch_fn(mesh)
         logger.info("mesh: %s", dict(mesh.shape))
+    if args.transfer_quant == "int8":
+        # wrap whatever placement was chosen above (single-device, DP mesh,
+        # multi-host): quantize on the host, place the int8+scales wire
+        # format, dequantize on device
+        from multimodal_uncertainty_tpu.data.transfer_quant import (
+            Int8TransferPut,
+        )
+
+        put_batch = Int8TransferPut(base_put=put_batch)
 
     primary = jax.process_index() == 0
     if use_orbax and args.resume:
