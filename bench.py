@@ -388,8 +388,17 @@ def bench_end2end_flava(batch=128, steps=5, workers=0, transfer_quant=False):
                             put_fn=qput)
     out["bytes_per_batch_mb"] = round((img.nbytes + txt.nbytes) / 1e6, 1)
     if transfer_quant:
-        wire = (img.size + txt.size) * 1  # int8 payload
-        wire += (img.shape[0] * img.shape[1] + txt.shape[0] * txt.shape[1]) * 4
+        # derive the wire size from the actual quantizer output so layout
+        # changes (leaf rank, scale shape) can never desync this number
+        from multimodal_uncertainty_tpu.data.transfer_quant import (
+            quantize_rows,
+        )
+
+        wire = sum(
+            part.nbytes
+            for leaf in (img, txt)
+            for part in quantize_rows(np.asarray(leaf))
+        )
         out["bytes_per_batch_mb_wire"] = round(wire / 1e6, 1)
         out["transfer_quant"] = "int8"
     try:

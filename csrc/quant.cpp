@@ -14,12 +14,17 @@
 // (tests/test_transfer_quant.py): scale = amax/127 computed in fp32,
 // q = nearbyintf(v/scale) — nearbyint under the default FP environment is
 // round-half-to-even, exactly np.rint.
+//
+// Non-finite inputs: a row containing any NaN/Inf quantizes to zeros with
+// scale 1.0 (same as an all-zero row) — defined behavior, mirrored exactly
+// by _numpy_quantize_rows.
 
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -43,10 +48,17 @@ void quantize_rows_range(const void* in, int dtype_code, int64_t d,
   for (int64_t r = row_begin; r < row_end; ++r) {
     const int64_t base = r * d;
     float amax = 0.0f;
+    bool finite = true;
     for (int64_t j = 0; j < d; ++j) {
-      amax = std::max(amax, std::fabs(load_elem(in, dtype_code, base + j)));
+      const float a = std::fabs(load_elem(in, dtype_code, base + j));
+      // NaN fails the comparison, +Inf exceeds max(): both mark the row
+      if (!(a <= std::numeric_limits<float>::max())) {
+        finite = false;
+        break;
+      }
+      amax = std::max(amax, a);
     }
-    if (amax > 0.0f) {
+    if (finite && amax > 0.0f) {
       const float s = amax / 127.0f;
       scale[r] = s;
       for (int64_t j = 0; j < d; ++j) {

@@ -41,7 +41,9 @@ def quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     Returns ``(q, scale)`` with ``q`` int8 of ``x.shape`` and ``scale``
     fp32 of ``x.shape[:-1] + (1,)``. Rows of all zeros get scale 1.0 and
-    quantize to exact zeros.
+    quantize to exact zeros; rows containing any non-finite value (NaN/Inf)
+    are treated the same — scale 1.0, exact zeros — in both the native and
+    numpy paths (bit-parity holds for non-finite inputs too).
 
     Dispatches to the C++ row-threaded kernel (``csrc/quant.cpp``,
     bit-identical, GIL-free, ~10x the numpy fallback on one core) when the
@@ -58,6 +60,9 @@ def quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _numpy_quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """The pure-numpy reference path (used by parity tests)."""
     xf = np.asarray(x, np.float32)
+    finite = np.isfinite(xf).all(axis=-1, keepdims=True)
+    if not finite.all():  # non-finite rows -> zeros, scale 1.0 (see above)
+        xf = np.where(finite, xf, np.float32(0.0))
     amax = np.max(np.abs(xf), axis=-1, keepdims=True)
     scale = np.where(amax > 0, amax / 127.0, np.float32(1.0)).astype(np.float32)
     q = np.clip(np.rint(xf / scale), -127, 127).astype(np.int8)
@@ -118,6 +123,11 @@ class Int8TransferPut:
       feature axis of at least ``min_last_dim`` are quantized (embedding
       tensors); integer leaves (labels, token ids, masks, uint8 images) and
       small/1-D floats pass through untouched.
+    * Blast radius: when the batch is a 2-tuple ``(x, y)`` (the trainer's
+      layout) only leaves inside ``x`` are ever quantized — a float target
+      or auxiliary leaf on the ``y`` side can never be lossy-quantized. For
+      finer control pass ``predicate`` (called with each ``x``-side leaf;
+      return False to exempt it from quantization).
     * Leaves that are already ``jax.Array`` pass through, making the put
       idempotent — the trainer applies ``put_batch`` again after a
       ``DevicePrefetcher`` already placed the batch.
@@ -128,9 +138,11 @@ class Int8TransferPut:
     """
 
     def __init__(self, base_put: Optional[Callable] = None,
-                 min_last_dim: int = 64):
+                 min_last_dim: int = 64,
+                 predicate: Optional[Callable] = None):
         self.base_put = base_put
         self.min_last_dim = min_last_dim
+        self.predicate = predicate
 
     def _eligible(self, leaf) -> bool:
         return (
@@ -138,14 +150,21 @@ class Int8TransferPut:
             and leaf.ndim >= 2
             and leaf.shape[-1] >= self.min_last_dim
             and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and (self.predicate is None or self.predicate(leaf))
         )
 
     def __call__(self, batch):
         leaves, treedef = jax.tree_util.tree_flatten(batch)
+        # (x, y) trainer layout: only the first len(x-leaves) flattened slots
+        # (tree_flatten is depth-first, x before y) may be quantized
+        if isinstance(batch, (tuple, list)) and len(batch) == 2:
+            n_quantizable = len(jax.tree_util.tree_leaves(batch[0]))
+        else:
+            n_quantizable = len(leaves)
         plan = []  # dtype_name for quantized slots, else None
         wire = []
-        for leaf in leaves:
-            if self._eligible(leaf):
+        for i, leaf in enumerate(leaves):
+            if i < n_quantizable and self._eligible(leaf):
                 q, s = quantize_rows(leaf)
                 plan.append(np.dtype(leaf.dtype).name)
                 wire.append((q, s))

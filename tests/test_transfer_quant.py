@@ -59,6 +59,50 @@ def test_native_quantizer_bit_matches_numpy(dtype):
     np.testing.assert_array_equal(st, sn)
 
 
+def test_nonfinite_rows_quantize_to_zero_native_and_numpy():
+    """Rows containing any NaN/Inf quantize to zeros with scale 1.0 —
+    defined behavior, identical across the native and numpy paths."""
+    from multimodal_uncertainty_tpu.data.native import native_quantize_rows
+    from multimodal_uncertainty_tpu.data.transfer_quant import (
+        _numpy_quantize_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 5, 96)).astype(np.float32)
+    x[0, 1, 7] = np.nan       # mixed NaN row
+    x[1, 2, :] = np.nan       # all-NaN row
+    x[2, 0, 50] = np.inf      # +Inf row
+    x[3, 4, 0] = -np.inf      # -Inf row
+    qp, sp = _numpy_quantize_rows(x)
+    for (r, c) in [(0, 1), (1, 2), (2, 0), (3, 4)]:
+        assert (qp[r, c] == 0).all()
+        assert sp[r, c, 0] == 1.0
+    # finite rows are untouched by the non-finite handling
+    qf, sf = _numpy_quantize_rows(np.nan_to_num(x, nan=0.0, posinf=0.0,
+                                                neginf=0.0))
+    np.testing.assert_array_equal(qp[0, 0], qf[0, 0])
+    out = native_quantize_rows(x)
+    if out is not None:
+        qn, sn = out
+        np.testing.assert_array_equal(qn, qp)
+        np.testing.assert_array_equal(sn, sp)
+
+
+def test_y_side_float_leaves_never_quantized():
+    """(x, y) trainer layout: a float leaf on the y side (e.g. soft labels
+    with >=64 columns) must cross the wire verbatim, not int8-rounded."""
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(4, 8, 128)).astype(np.float32)
+    soft_y = rng.normal(size=(4, 128)).astype(np.float32)  # would be
+    # eligible by shape/dtype — position alone must protect it
+    out_x, out_y = Int8TransferPut()((img, soft_y))
+    np.testing.assert_array_equal(np.asarray(out_y), soft_y)
+    # the x side is still quantized (int8-rounded, not bit-equal)
+    assert not np.array_equal(np.asarray(out_x), img)
+    np.testing.assert_allclose(np.asarray(out_x), img,
+                               atol=np.abs(img).max() / 100)
+
+
 def test_zero_padding_rows_exact():
     x = np.zeros((3, 4, 96), np.float32)
     x[0, 0] = np.linspace(-2, 2, 96)
