@@ -152,6 +152,13 @@ def get_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--modality", type=str, default="both",
                         choices=["both", "image", "text"],
                         help="mmbt unimodal-baseline training (keep-mask)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write an XLA device trace of one post-compile "
+                             "epoch here (jax.profiler); inspect with "
+                             "tools/trace_report.py or TensorBoard")
+    parser.add_argument("--profile_epoch", type=int, default=2,
+                        help="which epoch to trace (default 2: epoch 1 "
+                             "pays compilation)")
     # multi-chip mesh (TPU-native scaling; reference is single-device)
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="devices on the 'data' mesh axis")
@@ -659,6 +666,8 @@ def main():
         ece=args.ece,
         freeze_img=args.freeze_img,
         freeze_txt=args.freeze_txt,
+        profile_dir=args.profile_dir,
+        profile_epoch=args.profile_epoch,
         preemption=guard,
         midtrain_path=midtrain_path if primary else None,
         checkpoint_every_steps=args.checkpoint_every_steps,

@@ -49,6 +49,13 @@ def get_args(parser):
     parser.add_argument("--ece", action="store_true",
                         help="record val/test expected calibration error "
                              "per epoch in history.csv (north-star metric)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write an XLA device trace of one post-compile "
+                             "epoch here (jax.profiler); inspect with "
+                             "tools/trace_report.py or TensorBoard")
+    parser.add_argument("--profile_epoch", type=int, default=2,
+                        help="which epoch to trace (default 2: epoch 1 "
+                             "pays compilation)")
 
 
 def main():
@@ -184,6 +191,8 @@ def main():
         scheduler_metric=setup.scheduler_metric,
         auc=False,
         ece=args.ece,
+        profile_dir=args.profile_dir,
+        profile_epoch=args.profile_epoch,
         preemption=guard,
         midtrain_path=midtrain_path,
         resume_mid=resume_mid,
