@@ -144,3 +144,39 @@ def generation_for_food101(datapath: str, **kwargs):
     labels, _ = get_labels_and_frequencies(os.path.join(datapath, "train.jsonl"))
     for phase in ("train", "dev", "test"):
         encoding_with_flava(datapath, phase, label_dict=labels, **kwargs)
+
+
+def main(argv=None):
+    """The DEPLOYMENT.md §5 provisioning CLI:
+
+    ``python -m multimodal_uncertainty_tpu.data.encode_flava
+      --dataset hateful-meme-dataset --model weights/flava-full``
+
+    ``--dataset`` is a directory name under ``$DATA_DIR`` (or an absolute
+    path) holding ``{train,dev,test}.jsonl`` + images; datasets whose name
+    contains 'food101' use the Food-101 label vocabulary, everything else
+    the binary hateful-memes labels (reference encoding_with_flava:83-99).
+    """
+    import argparse
+
+    from multimodal_uncertainty_tpu import DATA_DIR
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--dataset", required=True,
+                    help="dataset dir name under $DATA_DIR, or a path")
+    ap.add_argument("--model", default="facebook/flava-full",
+                    help="HF name (cache hit only: local_files_only) or a "
+                         "local weights directory")
+    ap.add_argument("--max_text_length", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=8)
+    args = ap.parse_args(argv)
+    datapath = (args.dataset if os.path.isdir(args.dataset)
+                else os.path.join(DATA_DIR, args.dataset))
+    gen = (generation_for_food101 if "food101" in os.path.basename(datapath)
+           else generation_for_hatefulmeme)
+    gen(datapath, model_name_or_path=args.model,
+        max_text_length=args.max_text_length, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

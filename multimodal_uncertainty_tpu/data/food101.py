@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import string
 from collections import Counter
 from typing import List, Optional
 
@@ -278,17 +277,40 @@ def get_food101(
     return train_loader, val_loader, test_loader, n_classes, vocab
 
 
+# Reference cleaning char set (data/food101.py:33-37): these exact chars —
+# NOT string.punctuation (which adds '?', '|', '"' variants the reference
+# keeps) — become SPACES (not deleted: "e-mail" -> "e mail"), then runs of
+# whitespace collapse, then lowercase with newlines -> spaces. Any other
+# cleaning produces different WordPiece tokens on the real corpus.
+_FOOD101_PUNCT = "<>/\\+=-_[]{}'\";:.,()*&^%$#@!~`"
+
+
+def format_txt_file(content: str) -> str:
+    """Reference-exact text cleaning (``data/food101.py:33-37``)."""
+    import re
+
+    for c in _FOOD101_PUNCT:
+        content = content.replace(c, " ")
+    content = re.sub(r"\s\s+", " ", content)
+    return content.lower().replace("\n", " ")
+
+
 def format_food101_dataset(datapath: str, dev_size: int = 5000, seed: int = 4):
     """Offline formatter (reference ``data/food101.py:21-78``): walk
-    ``images/{train,test}/<label>/*``, pair with ``texts_txt/*.txt``, strip
-    punctuation + lowercase, stratified dev split, write ``{split}.jsonl``."""
-    rng = np.random.default_rng(seed)
-    table = str.maketrans("", "", string.punctuation)
+    ``images/{train,test}/<label>/*``, pair each image with its
+    ``texts_txt/<label>/<label>_<num>.txt`` page text (num parsed from the
+    image filename, the UPMC-Food-101 naming contract), clean the text
+    reference-exactly, make a stratified ``dev_size`` dev split from train,
+    and write ``{train,dev,test}.jsonl`` rows ``{id, label, text, img}``.
 
-    def clean(text: str) -> str:
-        return " ".join(
-            w.translate(table).lower() for w in text.split() if w.translate(table)
-        )
+    Deviations from the reference (documented, not behavioral on real
+    UPMC data): deterministic (seeded) split instead of sklearn's global
+    RNG; directory walks are sorted; a flat ``texts_txt/<stem>.txt``
+    fallback is accepted for images that don't match the UPMC naming."""
+    import re
+
+    rng = np.random.default_rng(seed)
+    img_re = re.compile(r"(?P<name>\w+)_(?P<num>[\d-]+)\.(?P<ext>\w+)")
 
     def rows_for(split):
         rows = []
@@ -298,37 +320,53 @@ def format_food101_dataset(datapath: str, dev_size: int = 5000, seed: int = 4):
             if not os.path.isdir(label_dir):
                 continue
             for fname in sorted(os.listdir(label_dir)):
+                # UPMC pairing (reference data/food101.py:45-56): the text
+                # file is <label>_<num>.txt, num from the IMAGE filename
+                m = img_re.search(fname)
+                candidates = []
+                if m is not None:
+                    candidates.append(os.path.join(
+                        datapath, "texts_txt", label,
+                        f"{label}_{m.group('num')}.txt"))
                 stem = os.path.splitext(fname)[0]
-                # UPMC-Food-101 layout (reference data/food101.py:53-56):
-                # texts_txt/<label>/<label>_<num>.txt; accept a flat
-                # texts_txt/<stem>.txt as fallback
-                txt_path = os.path.join(datapath, "texts_txt", label,
-                                        f"{stem}.txt")
-                if not os.path.exists(txt_path):
-                    txt_path = os.path.join(datapath, "texts_txt", f"{stem}.txt")
-                if not os.path.exists(txt_path):
+                candidates.append(os.path.join(datapath, "texts_txt", label,
+                                               f"{stem}.txt"))
+                candidates.append(os.path.join(datapath, "texts_txt",
+                                               f"{stem}.txt"))
+                txt_path = next((p for p in candidates if os.path.exists(p)),
+                                None)
+                if txt_path is None:  # unpaired image: skipped (reference :56)
                     continue
                 with open(txt_path, encoding="utf-8", errors="ignore") as f:
-                    text = clean(f.read())
+                    text = format_txt_file(f.read())
                 rows.append(
                     {
-                        "img": os.path.join("images", split, label, fname),
-                        "text": text,
+                        "id": f"{label}_{fname}",
                         "label": label,
+                        "text": text,
+                        "img": os.path.join("images", split, label, fname),
                     }
                 )
         return rows
 
     train_rows = rows_for("train")
     test_rows = rows_for("test")
-    # stratified dev split of dev_size samples from train
-    by_label = {}
+    # stratified dev split: exactly min(dev_size, len-1) rows, apportioned
+    # per label by largest remainder (reference: sklearn train_test_split
+    # with stratify=labels, test_size=5000)
+    dev_size = min(dev_size, max(0, len(train_rows) - 1))
+    by_label: dict = {}
     for i, r in enumerate(train_rows):
         by_label.setdefault(r["label"], []).append(i)
+    n = max(1, len(train_rows))
+    quotas = {lab: dev_size * len(ix) / n for lab, ix in by_label.items()}
+    take = {lab: int(q) for lab, q in quotas.items()}
+    short = dev_size - sum(take.values())
+    for lab in sorted(quotas, key=lambda l: (-(quotas[l] - take[l]), l))[:short]:
+        take[lab] += 1
     dev_idx = set()
-    per_label = max(1, dev_size // max(1, len(by_label)))
-    for idxs in by_label.values():
-        sel = rng.permutation(len(idxs))[:per_label]
+    for lab, idxs in sorted(by_label.items()):
+        sel = rng.permutation(len(idxs))[: take[lab]]
         dev_idx.update(idxs[j] for j in sel)
     splits = {
         "train": [r for i, r in enumerate(train_rows) if i not in dev_idx],

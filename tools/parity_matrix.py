@@ -79,6 +79,15 @@ def _sample(args):
             else ["--sample_size", str(args.sample_size)])
 
 
+def _real_tag() -> str:
+    """Data-column tag for rows whose REAL-format prerequisites are present.
+    Under the day-zero dress rehearsal (tools/day_zero_rehearsal.py sets
+    $MMU_REHEARSAL) the artifacts are reference-FORMAT but random-weight
+    fabrications — say so, never claim accuracy parity from them."""
+    return ("REAL-FORMAT/FAKE-WEIGHTS (rehearsal)"
+            if os.environ.get("MMU_REHEARSAL") else "REAL")
+
+
 def ensure_synthetic(data_dir: str):
     if not os.path.exists(os.path.join(data_dir, "food101", "train.jsonl")):
         run([sys.executable, "tools/make_synthetic_dataset.py", "--root", data_dir])
@@ -139,7 +148,7 @@ def config1_fashionmnist(args, data_dir):
         rows.append({
             "config": "1. FashionMNIST MIMO",
             "variant": model_type,
-            "data": "REAL" if real else "SYNTHETIC (images absent from env)",
+            "data": _real_tag() if real else "SYNTHETIC (images absent from env)",
             "metrics": f"best test_acc={best_history_val(save, 'test_acc'):.2f} "
                        f"test_ece={float(last_history_row(save)['test_ece']):.4f}; "
                        + _calibrated_ece(save, model_type, synth),
@@ -178,7 +187,7 @@ def _mmbt_run(args, data_dir, modality, label):
     return {
         "config": label,
         "variant": f"modality={modality}",
-        "data": "REAL" if real else f"SYNTHETIC ({'; '.join(note)})",
+        "data": _real_tag() if real else f"SYNTHETIC ({'; '.join(note)})",
         "metrics": f"val_acc={float(last['val_acc']):.2f} "
                    f"val_ece={float(last['val_ece']):.4f} "
                    f"loss={float(last['loss']):.3f}",
@@ -216,7 +225,7 @@ def config4_diversity(args, data_dir):
         rows.append({
             "config": "4. Guided vs random diversity",
             "variant": div,
-            "data": "REAL" if real else "SYNTHETIC (flava_embeds absent)",
+            "data": _real_tag() if real else "SYNTHETIC (flava_embeds absent)",
             "metrics": f"val_auc={float(last.get('val_auc', 0) or 0):.3f} "
                        f"val_acc={float(last['val_acc']):.2f} "
                        f"val_ece={float(last['val_ece']):.4f}",
@@ -256,7 +265,7 @@ def config5_flava_robustness(args, data_dir):
     return [{
         "config": "5. FLAVA Hateful-Memes + robustness",
         "variant": "MIMO-shuffle-instance",
-        "data": "REAL" if real and False else "SYNTHETIC (dataset absent)",
+        "data": _real_tag() if real else "SYNTHETIC (dataset absent)",
         "metrics": f"val_auc={float(last.get('val_auc', 0) or 0):.3f} "
                    f"val_ece={float(last['val_ece']):.4f}; "
                    f"robustness tensor {preds.shape}",

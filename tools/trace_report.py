@@ -65,11 +65,17 @@ def self_times(events, pids) -> tuple[dict, float]:
     invariant), so a sorted sweep with a stack attributes each interval
     to the innermost op covering it.
     """
+    import re
+
+    # Excluded from op attribution (they'd swallow everything as parents
+    # or, on their own track, double-report): bare-number dispatch-counter
+    # umbrellas and whole-program jit_<name>(fingerprint) spans — programs
+    # are reported separately by program_times(). '$file:line' events are
+    # host python stack frames (CPU-backend fallback traces).
+    non_op = re.compile(r"^\d+$|^jit_.*\(\d+\)$|^\$")
     by_track = collections.defaultdict(list)
     for e in events:
-        # '$file:line' events are host python stack frames (CPU-backend
-        # fallback traces include them); never device ops
-        if e["pid"] in pids and not e.get("name", "?").startswith("$"):
+        if e["pid"] in pids and not non_op.search(e.get("name", "?")):
             ts = e.get("ts", 0)
             by_track[(e["pid"], e.get("tid", 0))].append(
                 (ts, ts + e.get("dur", 0), e.get("name", "?"))
@@ -111,9 +117,33 @@ def self_times(events, pids) -> tuple[dict, float]:
     return {k: (v[0], v[1]) for k, v in agg.items()}, busy
 
 
+def program_times(events, pids) -> dict:
+    """Whole-program spans on the device stream: ``jit_<name>(fp)`` ->
+    (total_us, count). The per-step device time of a jitted function is
+    total/count of its row — THE stable samples/sec denominator on a
+    tunneled backend where wall clock includes dispatch latency."""
+    import re
+
+    prog = re.compile(r"^jit_(.+)\(\d+\)$")
+    agg: dict = {}
+    for e in events:
+        if e["pid"] in pids:
+            m = prog.match(e.get("name", "?"))
+            if m:
+                us, n = agg.get(m.group(1), (0.0, 0))
+                agg[m.group(1)] = (us + e.get("dur", 0), n + 1)
+    return agg
+
+
 def report(trace_dir: str, top: int = 10, out=sys.stdout) -> list:
     events, pid_names = load_events(trace_dir)
     pids = device_pids(pid_names, events)
+    progs = program_times(events, pids)
+    if progs:
+        print("programs (device span):", file=out)
+        for name, (us, n) in sorted(progs.items(), key=lambda kv: -kv[1][0]):
+            print(f"  {name:<40} {us / 1e3:>10.3f} ms total  "
+                  f"{us / 1e3 / n:>10.3f} ms/call  x{n}", file=out)
     agg, busy_us = self_times(events, pids)
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
     width = max([len(n) for n, _ in rows] + [4])
