@@ -128,6 +128,15 @@ def encoding_with_flava(
     with open(os.path.join(emb_dir, f"{phase}_error_cases.txt"), "w") as f:
         for i in error_cases:
             f.write(f"{i}\n")
+    # provenance marker: distinguishes genuinely model-encoded shards from
+    # the synthetic stand-ins tools/make_synthetic_dataset.py fabricates
+    # (tools/parity_matrix.py keys its REAL check on this file)
+    import json as _json
+
+    with open(os.path.join(out_dir, "PROVENANCE.json"), "w") as f:
+        _json.dump({"encoder": "encode_flava",
+                    "model": model_name_or_path,
+                    "max_text_length": max_text_length}, f)
     return error_cases
 
 

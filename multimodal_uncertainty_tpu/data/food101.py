@@ -351,10 +351,16 @@ def format_food101_dataset(datapath: str, dev_size: int = 5000, seed: int = 4):
 
     train_rows = rows_for("train")
     test_rows = rows_for("test")
-    # stratified dev split: exactly min(dev_size, len-1) rows, apportioned
-    # per label by largest remainder (reference: sklearn train_test_split
-    # with stratify=labels, test_size=5000)
-    dev_size = min(dev_size, max(0, len(train_rows) - 1))
+    # stratified dev split: exactly dev_size rows, apportioned per label by
+    # largest remainder (reference: sklearn train_test_split with
+    # stratify=labels, test_size=5000). Real UPMC (~67k train) is far above
+    # the default; on small/rehearsal trees the split is clamped to half of
+    # train so the formatter can never starve the train split (the
+    # reference's sklearn call would simply error there).
+    if dev_size > len(train_rows) // 2:
+        dev_size = len(train_rows) // 2
+        print(f"[format_food101] dev_size clamped to {dev_size} "
+              f"(half of {len(train_rows)} paired train rows)")
     by_label: dict = {}
     for i, r in enumerate(train_rows):
         by_label.setdefault(r["label"], []).append(i)

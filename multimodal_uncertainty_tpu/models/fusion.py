@@ -75,6 +75,11 @@ class FlavaFusionTransformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     dtype: Any = jnp.float32
+    # --pipeline_parallel hook: a callable (mm_x, key_mask) -> encoded that
+    # replaces the in-module mm_encoder execution (parameters are still
+    # created by init — the override reads the SAME resblocks_i leaves, see
+    # parallel/pipeline.py::fusion_pipeline_encoder). None = run inline.
+    encoder_override: Any = None
 
     @nn.compact
     def __call__(
@@ -139,14 +144,17 @@ class FlavaFusionTransformer(nn.Module):
             n_cls = self.out_dim
 
         mm_x = LayerNormFP32(name="ln_pre")(mm_x)
-        out = Transformer(
-            layers=self.multimodal_num_hidden_layers,
-            heads=self.multimodal_num_attention_heads,
-            drop=self.drop,
-            attn_impl=self.attn_impl,
-            remat=self.remat,
-            name="mm_encoder",
-        )(mm_x, train=train, key_mask=mask)
+        if self.encoder_override is not None:
+            out = self.encoder_override(mm_x, mask)
+        else:
+            out = Transformer(
+                layers=self.multimodal_num_hidden_layers,
+                heads=self.multimodal_num_attention_heads,
+                drop=self.drop,
+                attn_impl=self.attn_impl,
+                remat=self.remat,
+                name="mm_encoder",
+            )(mm_x, train=train, key_mask=mask)
         out = LayerNormFP32(name="ln_post")(out)
 
         if self.avg_pool and not self.cls_token:

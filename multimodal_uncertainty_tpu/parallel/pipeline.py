@@ -82,15 +82,18 @@ def pipeline_apply(stage_fn: Callable, stacked_params, xs, *,
     return ys
 
 
-def pipeline_sharded(stage_fn: Callable, mesh, *, pipe_axis: str = "model"):
+def pipeline_sharded(stage_fn: Callable, mesh, *, pipe_axis: str = "model",
+                     data_axis: str = None):
     """shard_map-wrapped pipeline: returns fn(stacked_params, xs) -> ys.
 
     ``stacked_params`` leaves are GLOBAL (P, ...) arrays sharded over
     ``pipe_axis`` (stage p's slice on device p); ``xs`` is the global
-    (M, mb, ...) microbatch stream (replicated); the result is the
-    (M, mb, ...) pipeline output, taken from the last stage and
-    replicated. Differentiable end-to-end: `jax.grad` of a loss on the
-    result yields stacked per-stage param grads with the same sharding.
+    (M, mb, ...) microbatch stream (replicated over ``pipe_axis``; its
+    per-microbatch batch dim shards over ``data_axis`` when given, so
+    DP x PP composes); the result is the (M, mb, ...) pipeline output,
+    taken from the last stage. Differentiable end-to-end: `jax.grad` of a
+    loss on the result yields stacked per-stage param grads with the same
+    sharding.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -105,8 +108,8 @@ def pipeline_sharded(stage_fn: Callable, mesh, *, pipe_axis: str = "model"):
     g = jax.shard_map(
         f,
         mesh=mesh,
-        in_specs=(P(pipe_axis), P()),
-        out_specs=P(pipe_axis),
+        in_specs=(P(pipe_axis), P(None, data_axis)),
+        out_specs=P(pipe_axis, None, data_axis),
         check_vma=False,
     )
 
@@ -114,3 +117,84 @@ def pipeline_sharded(stage_fn: Callable, mesh, *, pipe_axis: str = "model"):
         return g(stacked_params, xs)[-1]
 
     return run
+
+
+def fusion_pipeline_encoder(block_fn: Callable, layer_params, mesh, *,
+                            pipe_axis: str = "model",
+                            data_axis: str = "data",
+                            microbatches: int = None):
+    """Pipeline a REAL transformer encoder (train.py --pipeline_parallel):
+    the fusion model's ``mm_encoder`` resblocks run as a GPipe pipeline
+    over ``pipe_axis``, each stage applying layers/P consecutive blocks.
+
+    Args:
+      block_fn: (one_layer_params, x) -> y applying ONE residual block
+        (shape/dtype preserving — e.g. a flax ``.apply`` closure).
+      layer_params: the per-layer param subtrees IN ORDER (taken live from
+        the train step's params, so grads flow back to the original
+        ``resblocks_i`` leaves through the stack/reshape below).
+      microbatches: GPipe M (default: the stage count P; bubble fraction
+        is (P-1)/(M+P-1)).
+
+    Returns ``encode(x)`` mapping (B, S, D) -> (B, S, D).
+
+    Storage note: params stay in their per-layer (replicated or
+    DP-sharded) layout; the (P, L/P, ...) stacked view is built inside the
+    step (a few MB of copies for reference-size encoders). Activation
+    memory — the thing PP buys at depth — is per-stage.
+    """
+    n_stage = int(mesh.shape[pipe_axis])
+    n_layers = len(layer_params)
+    if n_layers % n_stage:
+        raise ValueError(
+            f"pipeline_parallel={n_stage} must divide the encoder depth "
+            f"{n_layers}"
+        )
+    per = n_layers // n_stage
+    stacked = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *layer_params
+    )
+    stacked = jax.tree_util.tree_map(
+        lambda l: l.reshape((n_stage, per) + l.shape[1:]), stacked
+    )
+
+    def stage_fn(stage_params, x):  # stage_params leaves: (per, ...)
+        def body(h, lp):
+            return block_fn(lp, h), None
+
+        h, _ = jax.lax.scan(body, x, stage_params)
+        return h
+
+    from jax.sharding import PartitionSpec as P
+
+    m = microbatches or n_stage
+
+    # The microbatch split happens INSIDE the shard_map on each data
+    # shard's LOCAL batch — a global (B,..)->(M,B/M,..) reshape across the
+    # 'data'-sharded dim would cost an all-to-all per step (and deadlocked
+    # XLA:CPU in the DPxPP train step); splitting locally is free and
+    # row-wise equivalent.
+    def f(stacked_params, xloc):
+        bl = xloc.shape[0]
+        if bl % m:
+            raise ValueError(
+                f"per-data-shard batch {bl} must divide into {m} pipeline "
+                "microbatches"
+            )
+        xs = xloc.reshape((m, bl // m) + tuple(xloc.shape[1:]))
+        ys = pipeline_apply(stage_fn, stacked_params, xs,
+                            axis_name=pipe_axis)
+        return ys.reshape(xloc.shape)[None]
+
+    g = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(pipe_axis), P(data_axis)),
+        out_specs=P(pipe_axis, data_axis),
+        check_vma=False,
+    )
+
+    def encode(x):
+        return g(stacked, x)[-1]
+
+    return encode

@@ -806,6 +806,63 @@ def test_pipeline_parallel_matches_sequential():
     check(pipe_remat, xs)
 
 
+def test_pipeline_parallel_fusion_train_step_matches_sequential():
+    """train.py --pipeline_parallel: the REAL fusion model's mm_encoder as
+    a 4-stage GPipe pipeline on a DPxPP ('data' x 'model') mesh — one full
+    train step (data forming, loss, AdamW update) must match the
+    single-device sequential step bit-for-bit at fp32."""
+    b, li, lt = 8, 12, 8
+    common = dict(
+        model_type="MIMO-shuffle-instance", n_classes=4, lr=1e-3,
+        n_epochs=1, steps_per_epoch=1, multimodal_num_hidden_layers=4,
+        multimodal_num_attention_heads=3,
+        sample_shapes=((b, li), (b, lt)), seed_key=jax.random.key(0),
+        attn_impl="xla",
+    )
+    mesh = make_mesh(8, model_parallel=4)  # data=2 x model(pipe)=4
+    ref = setup_flava(**common)
+    pp = setup_flava(**common, pipeline_parallel=4, pipeline_mesh=mesh)
+    step_ref = build_train_step(ref.bundle, ref.optimizer, donate=False)
+    step_pp = build_train_step(pp.bundle, pp.optimizer, donate=False)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(b, li, 768)).astype(np.float32)
+    txt = rng.normal(size=(b, lt, 768)).astype(np.float32)
+    y = rng.integers(0, 4, size=b).astype(np.int64)
+    key = jax.random.key(5)
+    s_ref, logs_ref = step_ref(
+        ref.state, (jnp.asarray(img), jnp.asarray(txt)), jnp.asarray(y),
+        key, None,
+    )
+    # drain the unsharded program before launching shard_map collectives —
+    # XLA:CPU's in-process communicator can rendezvous-starve if an async
+    # single-device program still holds the worker pool
+    loss_ref = float(logs_ref["loss"])
+    jax.block_until_ready(s_ref.params)
+
+    put = put_batch_fn(mesh)
+    (img_s, txt_s), y_s = put(((img, txt), y))
+    state_pp = shard_state(pp.state, mesh, tp=False)
+    with mesh:
+        s_pp, logs_pp = step_pp(state_pp, (img_s, txt_s), y_s, key, None)
+        assert abs(float(logs_pp["loss"]) - loss_ref) < 1e-6
+        # second step exercises the warmup schedule + moment updates
+        s_pp, logs_pp2 = step_pp(s_pp, (img_s, txt_s), y_s,
+                                 jax.random.key(6), None)
+    assert np.isfinite(float(logs_pp2["loss"]))
+    # one-step param equality (the strong check): redo pp from scratch
+    state_pp1 = shard_state(pp.state, mesh, tp=False)
+    with mesh:
+        s_pp1, _ = step_pp(state_pp1, (img_s, txt_s), y_s, key, None)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(s_pp1.params["mm_encoder"][f"resblocks_{i}"]["c_fc"]
+                       ["kernel"]),
+            np.asarray(s_ref.params["mm_encoder"][f"resblocks_{i}"]["c_fc"]
+                       ["kernel"]),
+        )
+
+
 def test_orbax_roundtrip_on_fsdp_shardings(tmp_path):
     """The FSDP production loop: an FSDP-sharded train state saves through
     orbax and restores directly onto a fresh FSDP-sharded template —

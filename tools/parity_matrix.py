@@ -207,8 +207,15 @@ def config3_mmbt(args, data_dir):
 
 
 def config4_diversity(args, data_dir):
+    # real when FLAVA-encoded shards exist in the packed layout the training
+    # path consumes AND carry encode_flava's provenance marker (the
+    # synthetic stand-ins from tools/make_synthetic_dataset.py don't)
     real = os.path.exists(
-        os.path.join(data_dir, "hateful-meme-dataset", "flava_embeds", "train")
+        os.path.join(data_dir, "hateful-meme-dataset", "flava_packed",
+                     "train_img.npy")
+    ) and os.path.exists(
+        os.path.join(data_dir, "hateful-meme-dataset", "flava_packed",
+                     "PROVENANCE.json")
     )
     rows = []
     for div in ("guided", "random"):
@@ -236,7 +243,11 @@ def config4_diversity(args, data_dir):
 
 def config5_flava_robustness(args, data_dir):
     dataset_dir = os.path.join(data_dir, "hateful-meme-dataset")
-    real = os.path.exists(os.path.join(dataset_dir, "img"))
+    # raw images present AND the embeddings are genuinely model-encoded
+    # (provenance marker; synthetic stand-ins lack it — see config4)
+    real = os.path.exists(os.path.join(dataset_dir, "img")) and os.path.exists(
+        os.path.join(dataset_dir, "flava_packed", "PROVENANCE.json")
+    )
     save = tempfile.mkdtemp(prefix="parity_flava_")
     run([
         sys.executable, "train.py", "--framework", "flava",

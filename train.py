@@ -171,6 +171,18 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                              "contexts past one chip's HBM. Requires the "
                              "padded img+txt length to be a multiple of "
                              "128*sequence_parallel")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="GPipe pipeline stages for the fusion "
+                             "mm_encoder over the 'model' mesh axis "
+                             "(parallel/pipeline.py): each stage holds "
+                             "layers/P consecutive blocks, activations hop "
+                             "the ICI ring, M=--pipeline_microbatches "
+                             "microbatches fill the bubble. flava only; "
+                             "requires dropout 0; composes with "
+                             "--data_parallel; exclusive with "
+                             "--model_parallel/--sequence_parallel")
+    parser.add_argument("--pipeline_microbatches", type=int, default=None,
+                        help="GPipe M (default: pipeline_parallel)")
     parser.add_argument("--fsdp", action="store_true",
                         help="FSDP/ZeRO-3: shard params + optimizer moments "
                              "over the 'data' axis (weights all-gather at "
@@ -268,8 +280,21 @@ def main():
         )
 
     root_key = set_seed(args.seed)
+    if args.pipeline_parallel > 1:
+        if args.framework != "flava":
+            raise SystemExit(
+                "--pipeline_parallel is wired for the fusion family "
+                "(--framework flava)")
+        if args.model_parallel > 1 or args.sequence_parallel > 1:
+            raise SystemExit(
+                "--pipeline_parallel uses the 'model' mesh axis for "
+                "stages; it is exclusive with --model_parallel and "
+                "--sequence_parallel")
+        if args.dropout:
+            raise SystemExit("--pipeline_parallel requires --dropout 0 "
+                             "(stages run rng-free)")
     n_mesh = (args.data_parallel * args.model_parallel
-              * args.sequence_parallel)
+              * args.sequence_parallel * args.pipeline_parallel)
     mesh = None
     if n_mesh > 1:
         # built BEFORE model setup: the ring route (and flax init, which
@@ -278,7 +303,7 @@ def main():
 
         mesh = make_mesh(
             n_mesh,
-            model_parallel=args.model_parallel,
+            model_parallel=args.model_parallel * args.pipeline_parallel,
             sequence_parallel=args.sequence_parallel,
         )
     args.seq_pad_multiple = None
@@ -311,6 +336,11 @@ def main():
                 f"{args.attn_impl!r}"
             )
         configure_ring_mesh(mesh)
+    if args.pipeline_parallel > 1 and args.attn_impl == "auto":
+        # train attention runs INSIDE the pipeline shard_map (plain kernels
+        # fine) but masked eval runs inline under the GSPMD mesh — xla is
+        # the one impl valid in both regimes; power users may override
+        args.attn_impl = "xla"
     if args.data_parallel * args.model_parallel > 1 and args.attn_impl in (
         "auto", "pallas"
     ):
@@ -469,6 +499,9 @@ def main():
             remat=args.remat,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             fast_dw=args.fast_dw,
+            pipeline_parallel=args.pipeline_parallel,
+            pipeline_mesh=mesh if args.pipeline_parallel > 1 else None,
+            pipeline_microbatches=args.pipeline_microbatches,
         )
     else:
         raise SystemExit("--framework is required (vilt | flava | mmbt)")
