@@ -16,6 +16,8 @@ from multimodal_uncertainty_tpu.analysis import (
 )
 from multimodal_uncertainty_tpu.analysis.round1 import head_diversity
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 
 def test_get_correlation_matches_scipy():
     from scipy.stats import pearsonr

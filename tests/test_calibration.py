@@ -1,4 +1,5 @@
 """Temperature scaling + reliability diagrams (analysis/calibration.py)."""
+import pytest
 import numpy as np
 
 from multimodal_uncertainty_tpu.analysis.calibration import (
@@ -12,6 +13,8 @@ from multimodal_uncertainty_tpu.ops.metrics import (
     expected_calibration_error,
     softmax_np,
 )
+
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
 
 
 def _miscalibrated(n=4000, c=5, t_true=3.0, seed=0):
@@ -77,6 +80,7 @@ def test_reliability_curve_contract():
     assert gap[curve["count"][valid] > 50].mean() > 0.05
 
 
+@pytest.mark.slow  # excluded from the quick tier
 def test_calibrate_cli_on_prediction_artifacts(tmp_path):
     """tools/calibrate.py consumes the eval_prediction_saving artifact
     contract ((S, E, C) logits + labels) and emits the report JSON."""

@@ -9,6 +9,8 @@ from multimodal_uncertainty_tpu.ops.data_forming import (
     data_forming_func_transformer,
 )
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 B, M, C, H, W = 8, 4, 1, 14, 14
 
 

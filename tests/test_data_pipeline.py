@@ -18,6 +18,8 @@ from multimodal_uncertainty_tpu.data.food101 import (
 from multimodal_uncertainty_tpu.data.loaders import ArrayLoader, MapLoader
 from multimodal_uncertainty_tpu.data.tokenization import Vocab
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 
 def test_quarter_crop_layout():
     img = np.zeros((1, 28, 28), np.uint8)

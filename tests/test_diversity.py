@@ -1,4 +1,5 @@
 """Diversity-signal tests (guided vs random, training effect on tau)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from multimodal_uncertainty_tpu.ops.diversity import (
     guided_diversity_penalty,
     muted_probs,
 )
+
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
 
 
 def test_muted_probs_zeroes_true_class():
@@ -35,6 +38,7 @@ def test_single_head_penalty_zero():
     assert float(guided_diversity_penalty(logits, jnp.zeros(4, jnp.int32))) == 0.0
 
 
+@pytest.mark.slow  # excluded from the quick tier
 def test_apply_diversity_dispatch():
     rng = np.random.default_rng(3)
     logits = jnp.asarray(rng.normal(size=(4, 2, 5)))
@@ -53,6 +57,7 @@ def test_apply_diversity_dispatch():
     assert float(jnp.abs(grad).max()) > 0
 
 
+@pytest.mark.slow  # excluded from the quick tier
 def test_guided_training_reduces_head_similarity():
     """Two linear heads on the same features: guided penalty drives their
     muted predictions apart vs the no-penalty baseline."""

@@ -19,6 +19,8 @@ from multimodal_uncertainty_tpu.data.flava_encoded import (
     load_error_cases,
 )
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 D = 8
 
 

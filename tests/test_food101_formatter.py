@@ -19,6 +19,8 @@ from multimodal_uncertainty_tpu.data.food101 import (
     get_labels_and_frequencies,
 )
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 
 def _make_upmc_tree(root, labels=("apple_pie", "baby_back_ribs", "sushi"),
                     n_train=8, n_test=3, px=48):

@@ -1,9 +1,12 @@
 """Reference-API compat shim tests (framework.Model_, StepIterator)."""
+import pytest
 import numpy as np
 
 from multimodal_uncertainty_tpu.framework import Model_, StepIterator
 from multimodal_uncertainty_tpu.training.callbacks import Callback
 from multimodal_uncertainty_tpu.training.trainer import Trainer
+
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
 
 
 def test_model_alias():

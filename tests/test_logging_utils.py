@@ -5,11 +5,14 @@ The reference teed every training job's console next to its checkpoints
 CLIs right after save_path exists. These tests pin the file-side line
 discipline (CR-repaint collapsing) and the CLI wiring.
 """
+import pytest
 import os
 import subprocess
 import sys
 
 from multimodal_uncertainty_tpu.utils.logging_utils import TeeLog
+
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -55,6 +58,7 @@ def test_tee_install_is_idempotent_and_appends(tmp_path):
     assert lines == ["first run", "second run"]
 
 
+@pytest.mark.slow  # excluded from the quick tier
 def test_train_cli_writes_out_log(tmp_path):
     """train_fashionmnist.py mirrors its console into save_path/out.log."""
     save = tmp_path / "run"

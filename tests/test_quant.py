@@ -16,6 +16,8 @@ from multimodal_uncertainty_tpu.ops.quant import (
 from multimodal_uncertainty_tpu.serving import FusionPredictor
 from multimodal_uncertainty_tpu.training.checkpoint import save_weights
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 D = 32
 
 
@@ -83,6 +85,7 @@ def _fusion_ckpt(tmp_path):
     return model, variables, path
 
 
+@pytest.mark.slow  # excluded from the quick tier
 @pytest.mark.parametrize("mode,tol", [("int8", 0.05), ("int8_weight", 0.02)])
 def test_quantized_predictor_close_to_fp32(tmp_path, mode, tol):
     model, variables, ckpt = _fusion_ckpt(tmp_path)
@@ -102,6 +105,7 @@ def test_quantized_predictor_close_to_fp32(tmp_path, mode, tol):
     assert (p_q.argmax(-1) == p_full.argmax(-1)).mean() >= 2 / 3
 
 
+@pytest.mark.slow  # excluded from the quick tier
 def test_quantized_mode_does_not_leak_into_training_trace(tmp_path):
     """A jitted forward traced OUTSIDE the context must be full precision
     even if a quantized predictor exists in the process."""

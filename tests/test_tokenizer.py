@@ -5,6 +5,8 @@ import pytest
 
 from multimodal_uncertainty_tpu.data.tokenization import BertTokenizer, get_vocab
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 VOCAB = [
     "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
     "the", "quick", "brown", "fox", "jump", "##s", "##ed", "##ing",

@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 import trace_report  # noqa: E402
 
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
+
 
 def _write_trace(tmp_path, events, pid_name="/device:TPU:0"):
     d = tmp_path / "plugins" / "profile" / "run1"

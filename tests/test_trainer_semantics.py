@@ -1,4 +1,5 @@
 """Trainer behavioral semantics: early stop, NaN abort, plateau LR, weighting."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from multimodal_uncertainty_tpu.training.state import TrainState
 from multimodal_uncertainty_tpu.training.steps import ModelBundle
 from multimodal_uncertainty_tpu.training.trainer import Trainer
 from multimodal_uncertainty_tpu.training.callbacks import Callback
+
+pytestmark = pytest.mark.quick  # <=2-min smoke tier (make check)
 
 
 class _EpochCounter(Callback):
