@@ -103,17 +103,23 @@ class BertSelfAttention(nn.Module):
         q = Linear(d, name="query")(x)
         k = Linear(d, name="key")(x)
         v = Linear(d, name="value")(x)
-        # attention-PROB dropout (0.1 in torch BERT) defaults OFF so
-        # attention stays a single fused kernel; setting
+        # attention-PROB dropout (0.1 in torch BERT) defaults OFF;
         # config.attention_probs_dropout_prob > 0 (train.py
-        # --attention_probs_dropout) opts into the reference-exact
-        # TRAINING regularizer via the XLA path. Eval is identical either
-        # way (dropout is train-only), so eval always takes the kernel.
+        # --attention_probs_dropout) opts into the reference-exact TRAINING
+        # regularizer. Since round 5 the dropout stays ON the kernel path
+        # (fused keep-mask pass, ops/attention.py
+        # attention_heads_last_dropout), falling back to the XLA route
+        # only where the kernel family can't serve the shape/impl. Eval is
+        # identical either way (dropout is train-only).
         p = c.attention_probs_dropout_prob
         if train and p > 0.0:
-            return attention_probs_dropout(
+            from multimodal_uncertainty_tpu.ops.attention import (
+                attention_heads_last_dropout,
+            )
+
+            return attention_heads_last_dropout(
                 q, k, v, key_mask, n_head=h, rate=p,
-                rng=self.make_rng("dropout"),
+                rng=self.make_rng("dropout"), impl=self.attn_impl,
             )
         # Heads stay packed in the last dim; split happens inside the kernel.
         return attention_heads_last(q, k, v, key_mask, n_head=h, impl=self.attn_impl)

@@ -86,11 +86,16 @@ class ViTBlock(nn.Module):
         p = c.attention_probs_dropout_prob
         if train and p > 0.0:
             # opt-in parity training mode (see models/bert.py): dropout on
-            # the attention probabilities via the XLA path
+            # the attention probabilities, fused into the heads-last
+            # kernel since round 5 (XLA fallback inside)
+            from multimodal_uncertainty_tpu.ops.attention import (
+                attention_heads_last_dropout,
+            )
+
             q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
-            attn = attention_probs_dropout(
+            attn = attention_heads_last_dropout(
                 q_, k_, v_, key_mask, n_head=h, rate=p,
-                rng=self.make_rng("dropout"),
+                rng=self.make_rng("dropout"), impl=self.attn_impl,
             )
         else:
             # heads stay packed; q/k/v split + head split inside the kernel

@@ -542,6 +542,225 @@ def _sdpa_pallas_hl_bwd(n_head, interpret, res, grad):
 _sdpa_pallas_hl.defvjp(_sdpa_pallas_hl_fwd, _sdpa_pallas_hl_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Heads-last kernels WITH attention-probs dropout (VERDICT r4 #9).
+#
+# The parity training regime (--attention_probs_dropout 0.1, torch BERT's
+# regularizer) previously had to leave the kernel path entirely for the
+# XLA (B,H,S,S)-materializing route. This variant is the "fused mask pass":
+# the keep mask is drawn OUTSIDE the kernel with the model's dropout rng —
+# jax.random.bernoulli(rng, 1-rate, (B,H,S,S)), bit-identical to the mask
+# the XLA path draws from the same key — and consumed inside the kernel as
+# a uint8 side input (bb*g*S*S bytes of VMEM; ~1-2% extra HBM traffic on
+# the full-size MMBT step vs the XLA path's multiple fp32 (B,H,S,S)
+# materializations). Because the mask is an explicit input, forward and
+# backward see the SAME draw with no in-kernel PRNG reseeding subtleties
+# (pltpu.prng_* additionally has no CPU interpret lowering to test
+# against).
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_hl_drop(q_ref, k_ref, v_ref, mask_ref, keep_ref, o_ref, *,
+                         scale, dh, inv_keep):
+    q = q_ref[...]  # (BB, S, BW), native dtype
+    k = k_ref[...]
+    v = v_ref[...]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)  # (BB, 1, S)
+    bw = q.shape[-1]
+    bq = (((2,), (2,)), ((0,), (0,)))
+
+    def one_head(qj, kj, vj, j):
+        scores = jax.lax.dot_general(
+            qj, kj, bq, preferred_element_type=jnp.float32
+        ) * scale
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pd = jnp.where(keep_ref[:, j] != 0, p * inv_keep, 0.0)
+        return jax.lax.dot_general(
+            pd.astype(vj.dtype), vj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    if bw == dh:
+        out = one_head(q, k, v, 0)
+    else:
+        out = jnp.zeros(q.shape, jnp.float32)
+        for j, mj in enumerate(_lane_masks(bw, dh, q.dtype)):
+            out = out + one_head(q * mj, k * mj, v * mj, j)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_hl_drop(q_ref, k_ref, v_ref, mask_ref, keep_ref, g_ref,
+                             dq_ref, dk_ref, dv_ref, *, scale, dh, inv_keep):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    go = g_ref[...]
+    bias = jnp.where(mask_ref[...] > 0, 0.0, NEG_INF)
+    bw = q.shape[-1]
+    bq = (((2,), (2,)), ((0,), (0,)))
+    ct_q = (((1,), (1,)), ((0,), (0,)))
+
+    def one_head(qj, kj, vj, goj, j):
+        scores = jax.lax.dot_general(
+            qj, kj, bq, preferred_element_type=jnp.float32
+        ) * scale
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        keep = keep_ref[:, j] != 0
+        pd = jnp.where(keep, p * inv_keep, 0.0)  # dropped probs (fwd's)
+        dv = jax.lax.dot_general(
+            pd.astype(qj.dtype), goj, ct_q, preferred_element_type=jnp.float32
+        )
+        dpd = jax.lax.dot_general(
+            goj, vj, bq, preferred_element_type=jnp.float32
+        )
+        dp = jnp.where(keep, dpd * inv_keep, 0.0)  # chain through dropout
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lp = ds.astype(qj.dtype)
+        dq = jax.lax.dot_general(
+            ds_lp, kj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds_lp, qj, ct_q, preferred_element_type=jnp.float32
+        ) * scale
+        return dq, dk, dv
+
+    if bw == dh:
+        dq, dk, dv = one_head(q, k, v, go, 0)
+    else:
+        dq = jnp.zeros(q.shape, jnp.float32)
+        dk = jnp.zeros_like(dq)
+        dv = jnp.zeros_like(dq)
+        for j, mj in enumerate(_lane_masks(bw, dh, q.dtype)):
+            dqj, dkj, dvj = one_head(q * mj, k * mj, v * mj, go * mj, j)
+            dq, dk, dv = dq + dqj, dk + dkj, dv + dvj
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _hl_drop_specs(s, bw, bb, g):
+    spec, mask_spec = _hl_specs(s, bw, bb)
+    keep_spec = pl.BlockSpec(
+        (bb, g, s, s), lambda bi, gi: (bi, gi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return spec, mask_spec, keep_spec
+
+
+def _hl_drop_batch_block(b, s, bw, dh, itemsize, n_bufs, n_scores, n_grad):
+    """bb for the dropout kernels: the plain-hl budget plus the
+    double-buffered (bb, g, s, s) uint8 keep block."""
+    g = max(1, bw // dh)
+    budget = 12 * 1024 * 1024
+    best = 1
+    for bb in (2, 4, 8):
+        if b % bb:
+            continue
+        need = (
+            n_bufs * bb * s * bw * itemsize * 2
+            + n_scores * bb * s * s * 4
+            + _n_acc_f32(bw, dh, n_grad) * bb * s * bw * 4
+            + bb * g * s * s * 2  # keep block, double-buffered uint8
+        )
+        if need <= budget:
+            best = bb
+    return best
+
+
+def _sdpa_hl_drop_fwd_impl(q, k, v, mask_i32, keep_u8, n_head, rate,
+                           interpret):
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    g = max(1, bw // dh)
+    bb = _hl_drop_batch_block(b, s, bw, dh, q.dtype.itemsize, 4, g, 1)
+    spec, mask_spec, keep_spec = _hl_drop_specs(s, bw, bb, g)
+    kernel = functools.partial(
+        _attn_kernel_hl_drop, scale=1.0 / (dh**0.5), dh=dh,
+        inv_keep=1.0 / (1.0 - rate),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b // bb, d // bw),
+        in_specs=[spec, spec, spec, mask_spec, keep_spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * s * d,
+            bytes_accessed=4 * b * s * d * 3 + b * n_head * s * s,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, keep_u8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _sdpa_pallas_hl_drop(q, k, v, mask_i32, keep_u8, n_head, rate, interpret):
+    return _sdpa_hl_drop_fwd_impl(q, k, v, mask_i32, keep_u8, n_head, rate,
+                                  interpret)
+
+
+def _sdpa_pallas_hl_drop_fwd(q, k, v, mask_i32, keep_u8, n_head, rate,
+                             interpret):
+    out = _sdpa_hl_drop_fwd_impl(q, k, v, mask_i32, keep_u8, n_head, rate,
+                                 interpret)
+    return out, (q, k, v, mask_i32, keep_u8)
+
+
+def _sdpa_pallas_hl_drop_bwd(n_head, rate, interpret, res, grad):
+    q, k, v, mask_i32, keep_u8 = res
+    b, s, d = q.shape
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    g = max(1, bw // dh)
+    bb = _hl_drop_batch_block(b, s, bw, dh, q.dtype.itemsize, 8, 4 * g, 3)
+    spec, mask_spec, keep_spec = _hl_drop_specs(s, bw, bb, g)
+    kernel = functools.partial(
+        _attn_bwd_kernel_hl_drop, scale=1.0 / (dh**0.5), dh=dh,
+        inv_keep=1.0 / (1.0 - rate),
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b // bb, d // bw),
+        in_specs=[spec, spec, spec, mask_spec, keep_spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * s * s * d,
+            bytes_accessed=4 * b * s * d * 7 + b * n_head * s * s,
+            transcendentals=b * n_head * s * s,
+        ),
+    )(q, k, v, mask_i32, keep_u8, grad)
+    return dq, dk, dv, None, None
+
+
+_sdpa_pallas_hl_drop.defvjp(_sdpa_pallas_hl_drop_fwd, _sdpa_pallas_hl_drop_bwd)
+
+
+def _hl_drop_whole_seq_fits(b, s, bw, dh, itemsize) -> bool:
+    """bb=1 VMEM feasibility for the dropout backward (the worst pass)."""
+    g = max(1, bw // dh)
+    need = (
+        8 * s * bw * itemsize * 2
+        + 4 * g * s * s * 4
+        + _n_acc_f32(bw, dh, 3) * s * bw * 4
+        + g * s * s * 2
+    )
+    return need <= _WHOLE_SEQ_VMEM_CAP
+
+
 def _packed_specs(s, d, bw, bb):
     # q/k/v are views of the SAME packed (B, S, 3D) operand at different
     # last-dim block offsets — no slice materialization in HBM
@@ -1932,6 +2151,58 @@ def attention_heads_last(
             q, k, v, mask_i32
         )
     return _sdpa_pallas_hl(q, k, v, mask_i32, n_head, impl == "pallas_interpret")
+
+
+def attention_heads_last_dropout(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    *,
+    n_head: int,
+    rate: float,
+    rng: jax.Array,
+    impl: str = "auto",
+) -> jax.Array:
+    """:func:`attention_heads_last` WITH attention-probs dropout fused into
+    the heads-last kernel (VERDICT r4 #9) — the parity training regime
+    (``--attention_probs_dropout 0.1``) no longer pays the XLA-path tax.
+
+    The keep mask is ``jax.random.bernoulli(rng, 1-rate, (B,H,S,S))`` —
+    the exact draw :func:`attention_probs_dropout` makes from the same
+    key, so the kernel path matches the XLA path's output up to matmul
+    accumulation order (asserted in test_attention_dropout_parity.py).
+    Falls back to the XLA path whenever the kernel family can't serve the
+    shape (head dims with no Mosaic-blockable layout, whole-seq VMEM
+    overflow, sharded/ring/flash impls)."""
+    if rate <= 0.0:
+        return attention_heads_last(q, k, v, key_mask, n_head=n_head,
+                                    impl=impl)
+    b, s, d = q.shape
+    assert d % n_head == 0, (d, n_head)
+    dh = d // n_head
+    bw = _hl_block_width(dh)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    kernel_ok = (
+        impl in ("pallas", "pallas_interpret")
+        and bw is not None
+        and d % bw == 0
+        and _hl_drop_whole_seq_fits(b, s, bw, dh, q.dtype.itemsize)
+    )
+    if not kernel_ok:
+        return attention_probs_dropout(
+            q, k, v, key_mask, n_head=n_head, rate=rate, rng=rng
+        )
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (b, n_head, s, s))
+    if key_mask is None:
+        mask_i32 = jnp.ones((b, 1, s), jnp.int32)
+    else:
+        mask_i32 = key_mask.astype(jnp.int32)[:, None, :]
+    return _sdpa_pallas_hl_drop(
+        q, k, v, mask_i32, keep.astype(jnp.uint8), n_head, float(rate),
+        impl == "pallas_interpret",
+    )
 
 
 def sdpa_shard_mapped(mesh, *, impl: str = "pallas", batch_axis: str = "data"):

@@ -129,3 +129,79 @@ def test_vilt_parity_mode_train_only():
     tr1 = blk1.apply(variables, x, mask, train=True,
                      rngs={"dropout": jax.random.key(5)})
     assert np.abs(np.asarray(tr1) - np.asarray(tr0)).max() > 1e-4
+
+
+def test_kernel_dropout_matches_xla_path_same_key():
+    """attention_heads_last_dropout (fused keep-mask kernel, VERDICT r4 #9)
+    draws the SAME bernoulli mask as attention_probs_dropout from the same
+    key, so outputs and all three input grads match the XLA path to fp32
+    accumulation order — for both kernel families (one-head-per-block and
+    lane-masked sub-heads)."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_heads_last_dropout,
+    )
+
+    rng = np.random.default_rng(0)
+    for d, h in ((128, 2), (256, 2)):  # Dh=64 (sub-head), Dh=128 (full)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, 16, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        mask = jnp.asarray(rng.random((B, 16)) > 0.25).at[:, 0].set(True)
+        key = jax.random.key(3)
+        kw = dict(n_head=h, rate=0.1, rng=key)
+        ref = attention_probs_dropout(q, k, v, mask, **kw)
+        got = attention_heads_last_dropout(
+            q, k, v, mask, impl="pallas_interpret", **kw
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-6)
+        for i, arg in enumerate((q, k, v)):
+            def loss(a, fn, extra):
+                args = [q, k, v]
+                args[i] = a
+                return jnp.sum(fn(*args, mask, **kw, **extra) ** 2)
+
+            g_ref = jax.grad(lambda a: loss(
+                a, attention_probs_dropout, {}))(arg)
+            g_ker = jax.grad(lambda a: loss(
+                a, attention_heads_last_dropout,
+                {"impl": "pallas_interpret"}))(arg)
+            np.testing.assert_allclose(
+                np.asarray(g_ker), np.asarray(g_ref),
+                atol=1e-5 * max(1.0, float(jnp.abs(g_ref).max())),
+            )
+
+
+def test_kernel_dropout_rate_zero_is_plain_kernel():
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_heads_last_dropout,
+    )
+
+    q, k, v = _qkv()
+    out = attention_heads_last_dropout(
+        q, k, v, n_head=H, rate=0.0, rng=jax.random.key(0),
+        impl="pallas_interpret",
+    )
+    ref = attention_heads_last(q, k, v, n_head=H, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_kernel_dropout_falls_back_for_unservable_shapes():
+    """Head dims with no Mosaic-blockable layout (Dh=48) must silently take
+    the XLA path and still equal it bit-for-bit (same key, same fn)."""
+    from multimodal_uncertainty_tpu.ops.attention import (
+        attention_heads_last_dropout,
+    )
+
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, 8, 96)).astype(np.float32))
+        for _ in range(3)
+    )
+    key = jax.random.key(9)
+    got = attention_heads_last_dropout(
+        q, k, v, n_head=2, rate=0.2, rng=key, impl="pallas_interpret"
+    )
+    ref = attention_probs_dropout(q, k, v, n_head=2, rate=0.2, rng=key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -140,7 +140,10 @@ def config1_fashionmnist(args, data_dir):
         cmd = [
             sys.executable, "train_fashionmnist.py",
             "--model_type", model_type, "--save_path", save,
-            "--n_epochs", str(args.epochs), "--batch_size", "64",
+            # reference quirk preserved by the CLI: it trains n_epochs - 1
+            # epochs (ref train_fashionmnist.py:184) — +1 so this config
+            # actually trains args.epochs epochs (epochs=1 would train 0)
+            "--n_epochs", str(args.epochs + 1), "--batch_size", "64",
             "--lr", "0.05", "--seed", "7", "--ece",
         ]
         synth = [] if real else ["--synthetic", *_sample(args)]

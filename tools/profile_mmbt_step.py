@@ -68,7 +68,14 @@ def main():
         datapath=tmp, batch_size=batch, n_workers=0, max_seq_len=512,
         num_image_embeds=3,
     )
+    attn_dropout = float(bench._arg_after("--attn_dropout", 0.0))
     cfg, resnet_layers = BertConfig.base(), (3, 8, 36, 3)
+    if attn_dropout > 0.0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, attention_probs_dropout_prob=attn_dropout
+        )
     (text, segment, mask, imgs), y = next(iter(train))
     txt_len = int(bench._arg_after("--txt_len", 0))
     if txt_len > text.shape[1]:
