@@ -1,12 +1,14 @@
 """Opt-in attention-probability dropout (VERDICT r3 #8).
 
-The fused kernels omit torch BERT's attention-probs dropout (reference
-``src/mmbt.py:86-234``: pytorch_pretrained_bert BertModel, default 0.1) to
-keep attention a single Pallas call — a documented train-time deviation.
+Attention-probs dropout is OFF by default (torch BERT defaults 0.1 —
+reference ``src/mmbt.py:86-234``; documented deviation, DEVIATIONS.md).
 ``attention_probs_dropout_prob > 0`` (train.py --attention_probs_dropout)
-is the exact-parity training mode; these tests pin its contract: rate=0 is
-bit-identical to the kernel path, rate>0 perturbs TRAIN mode only, and
-eval is identical regardless of the setting.
+is the exact-parity training mode; since round 5 it stays on the Pallas
+kernel path with the keep-mask fused into the kernels (the kernel==XLA
+parity under dropout is pinned below). These tests pin the mode's
+contract: rate=0 is bit-identical to the kernel path,
+rate>0 perturbs TRAIN mode only, and eval is identical regardless of the
+setting.
 """
 import jax
 import jax.numpy as jnp
