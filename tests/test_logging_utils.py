@@ -59,9 +59,12 @@ def test_tee_install_is_idempotent_and_appends(tmp_path):
 
 
 @pytest.mark.slow  # excluded from the quick tier
-def test_train_cli_writes_out_log(tmp_path):
-    """train_fashionmnist.py mirrors its console into save_path/out.log."""
+def test_train_cli_writes_out_log_and_profile_trace(tmp_path):
+    """train_fashionmnist.py mirrors its console into save_path/out.log,
+    and --profile_dir/--profile_epoch (real CLI flags since round 5)
+    capture a jax.profiler trace of the chosen epoch."""
     save = tmp_path / "run"
+    prof = tmp_path / "trace"
     env = {
         **os.environ,
         "MMU_PLATFORM": "cpu",
@@ -73,7 +76,8 @@ def test_train_cli_writes_out_log(tmp_path):
          "--synthetic", "--model_type", "MultiHead",
          "--save_path", str(save), "--sample_size", "32",
          # n_epochs=2 trains ONE epoch (reference quirk: epochs = n_epochs-1)
-         "--n_epochs", "2", "--batch_size", "16", "--lr", "0.05"],
+         "--n_epochs", "2", "--batch_size", "16", "--lr", "0.05",
+         "--profile_dir", str(prof), "--profile_epoch", "1"],
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -82,3 +86,7 @@ def test_train_cli_writes_out_log(tmp_path):
     text = log.read_text()
     assert "Epoch 1/1" in text  # the final epoch summary line made it
     assert "\r" not in text  # repaints collapsed
+    # the profiler wrote a trace (plugins/profile/<ts>/*.xplane.pb) that
+    # tools/trace_report.py can consume
+    traces = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.json.gz"))
+    assert traces, f"no trace files under {prof}"
