@@ -181,7 +181,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
     datapath = (args.dataset if os.path.isdir(args.dataset)
                 else os.path.join(DATA_DIR, args.dataset))
-    gen = (generation_for_food101 if "food101" in os.path.basename(datapath)
+    # normpath first: basename('food101/') is '' and would silently route
+    # Food-101 through the hateful-memes (binary-label) encoder
+    dirname = os.path.basename(os.path.normpath(datapath))
+    gen = (generation_for_food101 if "food101" in dirname
            else generation_for_hatefulmeme)
     gen(datapath, model_name_or_path=args.model,
         max_text_length=args.max_text_length, batch_size=args.batch_size)

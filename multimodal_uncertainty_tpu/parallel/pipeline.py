@@ -176,7 +176,7 @@ def fusion_pipeline_encoder(block_fn: Callable, layer_params, mesh, *,
     # row-wise equivalent.
     def f(stacked_params, xloc):
         bl = xloc.shape[0]
-        if bl % m:
+        if bl % m:  # unreachable via encode() below (it pads); safety net
             raise ValueError(
                 f"per-data-shard batch {bl} must divide into {m} pipeline "
                 "microbatches"
@@ -194,7 +194,22 @@ def fusion_pipeline_encoder(block_fn: Callable, layer_params, mesh, *,
         check_vma=False,
     )
 
+    n_data = int(mesh.shape[data_axis]) if data_axis else 1
+
     def encode(x):
-        return g(stacked, x)[-1]
+        # The loaders keep epoch remainders (drop_last=False parity) and
+        # the val/test eval steps route through this same apply_fn, so the
+        # batch need not divide data_shards * microbatches. Pad with zero
+        # rows up to the next multiple and slice back: rows are independent
+        # along the batch dim (per-row LN, batch-dim attention), so padding
+        # is exact — same rationale as put_batch_fn's replicated fallback.
+        b = x.shape[0]
+        pad = (-b) % (n_data * m)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + tuple(x.shape[1:]), x.dtype)], axis=0
+            )
+        y = g(stacked, x)[-1]
+        return y[:b] if pad else y
 
     return encode

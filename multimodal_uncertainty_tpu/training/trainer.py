@@ -404,8 +404,11 @@ class Trainer:
                 )
 
             if profiling:
-                # sync before stopping the trace so the epoch's compute is in it
-                jax.device_get(losses[-1])
+                # sync before stopping the trace so the epoch's compute is
+                # in it; losses can be empty when a mid-epoch resume
+                # re-enters the profiled epoch with no batches left
+                if losses:
+                    jax.device_get(losses[-1])
                 jax.profiler.stop_trace()
 
             if preemption is not None and preemption.triggered:

@@ -94,7 +94,10 @@ def test_formatter_pairs_cleans_splits_and_feeds_training(tmp_path):
     assert os.path.exists(os.path.join(root, r["img"]))
     # text went through reference-exact cleaning (lowercase, punct->space)
     assert "e mail" in r["text"] and ";" not in r["text"]
-    assert r["text"] == format_txt_file(r["text"]) or True  # idempotent-ish
+    # cleaning is idempotent: the collapse runs before the \n->space
+    # replace, so cleaned text never holds consecutive whitespace and a
+    # second pass is the identity
+    assert format_txt_file(r["text"]) == r["text"]
 
     # determinism: same seed -> identical files
     sig1 = [tuple(sorted(x.items())) for x in rows["dev"]]

@@ -353,6 +353,49 @@ def test_midepoch_preempt_resume_exact_with_accumulation(tmp_path):
     assert int(tr_a.state.step) == int(tr_c.state.step)
 
 
+def test_resume_into_profiled_epoch_with_no_batches_left(tmp_path):
+    """r5 review finding: a run preempted at the LAST batch of an epoch
+    resumes with start_batch == n_steps, so the profiled epoch's batch
+    loop body never runs and losses is empty — the profiler stop path
+    must not index losses[-1] (it used to IndexError and leak the open
+    trace session)."""
+    d = tmp_path / "run"
+    os.makedirs(d)
+    H = {}
+    guard = PreemptionGuard()
+    tr, setup, train, valid, cbs = _fmnist_trainer(d, H)
+    n_batches = len(train)
+    cbs = list(cbs) + [_TriggerAt(guard, epoch=2, batch=n_batches)]
+    mid_path = os.path.join(d, "model_midtrain.pt")
+    tr.train_loop(
+        train,
+        **_loop_kwargs(train, valid, cbs, setup,
+                       preemption=guard, midtrain_path=mid_path),
+    )
+    assert tr.preempted
+
+    H2 = load_history(str(d))
+    tr2, setup2, train2, valid2, cbs2 = _fmnist_trainer(d, H2)
+    state, mid = resume_midtrain_state(
+        setup2.state, mid_path, scheduler=setup2.plateau
+    )
+    assert int(mid["next_batch"]) == n_batches  # zero batches left
+    tr2.state = state
+    prof = str(tmp_path / "trace")
+    tr2.train_loop(
+        train2,
+        **_loop_kwargs(train2, valid2, cbs2, setup2,
+                       epoch_start=2, resume_mid=mid,
+                       midtrain_path=mid_path,
+                       profile_dir=prof, profile_epoch=2),
+    )
+    # the run completed (no IndexError) and the trace session was closed
+    assert len(load_history(str(d))["epoch"]) == 3
+    import glob
+
+    assert glob.glob(prof + "/**/*.trace.json.gz", recursive=True)
+
+
 def test_preempt_at_last_batch_resumes_through_evals(tmp_path):
     """Signal on the epoch's final batch: the in-loop check skips it (the
     epoch's train phase is complete), so the post-train check saves with

@@ -863,6 +863,51 @@ def test_pipeline_parallel_fusion_train_step_matches_sequential():
         )
 
 
+def test_pipeline_parallel_partial_batch_matches_sequential():
+    """Batches that divide NEITHER the data axis NOR the microbatch count
+    must still train through --pipeline_parallel (r5 review finding: the
+    loaders keep epoch remainders — drop_last=False parity — and val/test
+    eval routes through the same pipelined apply_fn, so every real epoch
+    ends on such a batch). The pipelined encoder pads the batch to a
+    data_shards*microbatches multiple with zero rows and slices back;
+    rows are independent along the batch dim, so the loss must equal the
+    sequential single-device step's."""
+    b, li, lt = 7, 12, 8  # 7: odd vs data=2, and 7 % microbatches(4) != 0
+    common = dict(
+        model_type="MIMO-shuffle-instance", n_classes=4, lr=1e-3,
+        n_epochs=1, steps_per_epoch=1, multimodal_num_hidden_layers=4,
+        multimodal_num_attention_heads=3,
+        sample_shapes=((b, li), (b, lt)), seed_key=jax.random.key(0),
+        attn_impl="xla",
+    )
+    mesh = make_mesh(8, model_parallel=4)  # data=2 x model(pipe)=4
+    ref = setup_flava(**common)
+    pp = setup_flava(**common, pipeline_parallel=4, pipeline_mesh=mesh)
+    step_ref = build_train_step(ref.bundle, ref.optimizer, donate=False)
+    step_pp = build_train_step(pp.bundle, pp.optimizer, donate=False)
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(b, li, 768)).astype(np.float32)
+    txt = rng.normal(size=(b, lt, 768)).astype(np.float32)
+    y = rng.integers(0, 4, size=b).astype(np.int64)
+    key = jax.random.key(5)
+    s_ref, logs_ref = step_ref(
+        ref.state, (jnp.asarray(img), jnp.asarray(txt)), jnp.asarray(y),
+        key, None,
+    )
+    loss_ref = float(logs_ref["loss"])
+    jax.block_until_ready(s_ref.params)
+
+    # put_batch_fn places indivisible batches replicated (its documented
+    # fallback) — the pipelined step must accept that placement too
+    put = put_batch_fn(mesh)
+    (img_s, txt_s), y_s = put(((img, txt), y))
+    state_pp = shard_state(pp.state, mesh, tp=False)
+    with mesh:
+        _, logs_pp = step_pp(state_pp, (img_s, txt_s), y_s, key, None)
+        assert abs(float(logs_pp["loss"]) - loss_ref) < 1e-6
+
+
 def test_orbax_roundtrip_on_fsdp_shardings(tmp_path):
     """The FSDP production loop: an FSDP-sharded train state saves through
     orbax and restores directly onto a fresh FSDP-sharded template —

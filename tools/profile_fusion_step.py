@@ -81,50 +81,10 @@ def main():
     float(barrier)
     jax.profiler.stop_trace()
 
-    events, pid_names = trace_report.load_events(td)
-    pids = trace_report.device_pids(pid_names, events)
-    agg, busy_us = trace_report.self_times(events, pids)
-    progs = trace_report.program_times(events, pids)
-    step_rows = [(n, us / nc) for n, (us, nc) in progs.items() if "step" in n]
-    if step_rows:
-        step_ms = step_rows[0][1] / 1e3
-        src = f"jit_{step_rows[0][0]} program span"
-    else:
-        step_ms = busy_us / 1e3 / steps
-        src = "op-union busy"
-    flops = analytic_step_flops(b, li, lt, d)
-    peak = 197e12  # v5e bf16 peak (394 is int8)
-    mfu = flops / (step_ms / 1e3) / peak
-    for name, (us, nc) in sorted(progs.items(), key=lambda kv: -kv[1][0]):
-        print(f"program jit_{name}: {us / 1e3 / nc:.3f} ms/call x{nc}")
-    print(f"\ndevice step ({src}): {step_ms:.2f} ms/step  "
-          f"-> {b / (step_ms / 1e3):.1f} samples/s")
-    print(f"op-level device busy: {busy_us / 1e3 / steps:.2f} ms/step")
-    print(f"analytic train FLOPs/step: {flops / 1e12:.2f} TF  "
-          f"MFU ~= {100 * mfu:.1f}% of v5e bf16 peak (197 TF/s)\n")
-
-    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-    denom = steps * step_ms * 1e3
-    print(f"{'op':<64}  {'self_ms/step':>12}  {'%step':>6}  {'count':>6}")
-    for name, (self_us, n) in rows[:top]:
-        print(f"{name[:64]:<64}  {self_us / 1e3 / steps:>12.3f}  "
-              f"{100 * self_us / denom:>5.1f}%  {n:>6}")
-
-    cats: dict = {}
-    for e in events:
-        a = e.get("args", {})
-        c = a.get("hlo_category")
-        if e["pid"] in pids and c:
-            us, byt = cats.get(c, (0.0, 0))
-            cats[c] = (us + e.get("dur", 0),
-                       byt + int(a.get("bytes_accessed", 0)))
-    print(f"\n{'hlo_category':<28}  {'ms/step':>8}  {'%step':>6}  "
-          f"{'GB/step':>8}  {'GB/s':>7}")
-    for c, (us, byt) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
-        bw = byt / 1e9 / (us / 1e6) if us else 0.0
-        print(f"{c:<28}  {us / 1e3 / steps:>8.2f}  "
-              f"{100 * us / denom:>5.1f}%  {byt / 1e9 / steps:>8.2f}  "
-              f"{bw:>7.0f}")
+    trace_report.print_step_report(
+        td, steps=steps, batch=b,
+        flops=analytic_step_flops(b, li, lt, d), top=top,
+    )
     print(f"\ntrace dir: {td}")
 
 

@@ -12,127 +12,30 @@ total device busy time (union of intervals, same definition as
 ``bench._device_ms_from_trace``). This is the tool the BASELINE.md per-op
 attribution tables are produced with.
 
+The parsing primitives live in ``multimodal_uncertainty_tpu.utils.traces``
+(ONE implementation shared with bench.py — see that module's docstring for
+why); this file is the CLI plus the step-attribution report the
+profile_{mmbt,fusion}_step tools share.
+
 The reference has no profiling story (single-GPU torch, no trace hooks);
 this subsumes it: reference ``train.py`` only logs wall-clock per epoch.
 """
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
-import gzip
 import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def load_events(trace_dir: str):
-    """All complete ('X') events + pid/tid names from every
-    *.trace.json.gz under ``trace_dir``."""
-    pid_names: dict = {}
-    events = []
-    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
-    if not files:
-        raise FileNotFoundError(
-            f"no *.trace.json.gz under {trace_dir!r} — did the traced epoch "
-            "run? (--profile_epoch defaults to 2: a 1-epoch run never "
-            "triggers the trace)"
-        )
-    for f in files:
-        with gzip.open(f, "rt") as fh:
-            data = json.load(fh)
-        for e in data.get("traceEvents", []):
-            ph = e.get("ph")
-            if ph == "M" and e.get("name") == "process_name":
-                pid_names[e["pid"]] = e["args"].get("name", "")
-            elif ph == "X":
-                events.append(e)
-    return events, pid_names
+from multimodal_uncertainty_tpu.utils import traces  # noqa: E402
 
-
-def device_pids(pid_names: dict, events) -> set:
-    dev = {p for p, name in pid_names.items()
-           if any(tag in name.lower() for tag in ("tpu", "/device"))}
-    if not dev:  # CPU backend: no device pid; use every pid seen
-        dev = {e["pid"] for e in events}
-    return dev
-
-
-def self_times(events, pids) -> tuple[dict, float]:
-    """Aggregate self time (us) by op name over the given pids.
-
-    Events on one (pid, tid) track nest strictly (trace-viewer
-    invariant), so a sorted sweep with a stack attributes each interval
-    to the innermost op covering it.
-    """
-    import re
-
-    # Excluded from op attribution (they'd swallow everything as parents
-    # or, on their own track, double-report): bare-number dispatch-counter
-    # umbrellas and whole-program jit_<name>(fingerprint) spans — programs
-    # are reported separately by program_times(). '$file:line' events are
-    # host python stack frames (CPU-backend fallback traces).
-    non_op = re.compile(r"^\d+$|^jit_.*\(\d+\)$|^\$")
-    by_track = collections.defaultdict(list)
-    for e in events:
-        if e["pid"] in pids and not non_op.search(e.get("name", "?")):
-            ts = e.get("ts", 0)
-            by_track[(e["pid"], e.get("tid", 0))].append(
-                (ts, ts + e.get("dur", 0), e.get("name", "?"))
-            )
-    agg = collections.defaultdict(lambda: [0.0, 0])  # name -> [self_us, n]
-    busy_spans = []
-    for track in by_track.values():
-        # parents first at equal start: longer duration first
-        track.sort(key=lambda t: (t[0], -(t[1] - t[0])))
-        stack = []  # (ts, te, name, child_us)
-        for ts, te, name in track:
-            busy_spans.append((ts, te))
-            while stack and ts >= stack[-1][1]:
-                s, t, n, child = stack.pop()
-                agg[n][0] += (t - s) - child
-                agg[n][1] += 1
-                if stack:
-                    stack[-1][3] += t - s
-            stack.append([ts, te, name, 0.0])
-        while stack:
-            s, t, n, child = stack.pop()
-            agg[n][0] += (t - s) - child
-            agg[n][1] += 1
-            if stack:
-                stack[-1][3] += t - s
-
-    # union busy time across the selected pids (same as bench.py)
-    busy_spans.sort()
-    busy, cur_s, cur_e = 0.0, None, None
-    for s, t in busy_spans:
-        if cur_e is None or s > cur_e:
-            if cur_e is not None:
-                busy += cur_e - cur_s
-            cur_s, cur_e = s, t
-        else:
-            cur_e = max(cur_e, t)
-    if cur_e is not None:
-        busy += cur_e - cur_s
-    return {k: (v[0], v[1]) for k, v in agg.items()}, busy
-
-
-def program_times(events, pids) -> dict:
-    """Whole-program spans on the device stream: ``jit_<name>(fp)`` ->
-    (total_us, count). The per-step device time of a jitted function is
-    total/count of its row — THE stable samples/sec denominator on a
-    tunneled backend where wall clock includes dispatch latency."""
-    import re
-
-    prog = re.compile(r"^jit_(.+)\(\d+\)$")
-    agg: dict = {}
-    for e in events:
-        if e["pid"] in pids:
-            m = prog.match(e.get("name", "?"))
-            if m:
-                us, n = agg.get(m.group(1), (0.0, 0))
-                agg[m.group(1)] = (us + e.get("dur", 0), n + 1)
-    return agg
+# back-compat re-exports (tests and the profile tools import these here)
+load_events = traces.load_events
+device_pids = traces.device_pids
+self_times = traces.self_times
+program_times = traces.program_times
 
 
 def report(trace_dir: str, top: int = 10, out=sys.stdout) -> list:
@@ -161,6 +64,61 @@ def report(trace_dir: str, top: int = 10, out=sys.stdout) -> list:
     return result
 
 
+def print_step_report(trace_dir: str, *, steps: int, batch: int,
+                      flops: float, top: int = 20,
+                      peak: float = 197e12, out=sys.stdout) -> float:
+    """The step-attribution report profile_{mmbt,fusion}_step.py share:
+    program spans, the honest per-step device time (the step program's own
+    span — deterministically the LARGEST-total 'step' program, see
+    traces.step_program), analytic-FLOPs MFU vs ``peak`` (default: v5e
+    bf16 197 TF/s; 394 is the int8 figure), top-K ops by self time, and
+    the hlo_category table with achieved GB/s (v5e HBM peak ~819 GB/s —
+    categories at ~800+ are at memory speed-of-light).
+
+    Returns the per-step device ms (the BASELINE.md headline number).
+    """
+    events, pid_names = load_events(trace_dir)
+    pids = device_pids(pid_names, events)
+    agg, busy_us = self_times(events, pids)
+    progs = program_times(events, pids)
+    picked = traces.step_program(progs)
+    if picked is not None:
+        name, step_ms = picked
+        src = f"jit_{name} program span"
+    else:
+        step_ms = busy_us / 1e3 / steps
+        src = "op-union busy"
+    mfu = flops / (step_ms / 1e3) / peak
+    for name, (us, nc) in sorted(progs.items(), key=lambda kv: -kv[1][0]):
+        print(f"program jit_{name}: {us / 1e3 / nc:.3f} ms/call x{nc}",
+              file=out)
+    print(f"\ndevice step ({src}): {step_ms:.2f} ms/step  "
+          f"-> {batch / (step_ms / 1e3):.1f} samples/s", file=out)
+    print(f"op-level device busy: {busy_us / 1e3 / steps:.2f} ms/step",
+          file=out)
+    print(f"analytic train FLOPs/step: {flops / 1e12:.2f} TF  "
+          f"MFU ~= {100 * mfu:.1f}% of bf16 peak ({peak / 1e12:.0f} TF/s)\n",
+          file=out)
+
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    denom = steps * step_ms * 1e3  # % of the step program's device span
+    print(f"{'op':<64}  {'self_ms/step':>12}  {'%step':>6}  {'count':>6}",
+          file=out)
+    for name, (self_us, n) in rows[:top]:
+        print(f"{name[:64]:<64}  {self_us / 1e3 / steps:>12.3f}  "
+              f"{100 * self_us / denom:>5.1f}%  {n:>6}", file=out)
+
+    cats = traces.category_times(events, pids)
+    print(f"\n{'hlo_category':<28}  {'ms/step':>8}  {'%step':>6}  "
+          f"{'GB/step':>8}  {'GB/s':>7}", file=out)
+    for c, (us, byt) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+        bw = byt / 1e9 / (us / 1e6) if us else 0.0
+        print(f"{c:<28}  {us / 1e3 / steps:>8.2f}  "
+              f"{100 * us / denom:>5.1f}%  {byt / 1e9 / steps:>8.2f}  "
+              f"{bw:>7.0f}", file=out)
+    return step_ms
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("trace_dir", help="directory passed to --profile_dir")
@@ -178,6 +136,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     main()
