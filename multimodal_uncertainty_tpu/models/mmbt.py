@@ -100,6 +100,11 @@ class MultimodalBertEncoder(nn.Module):
     attn_impl: str = "auto"
     dtype: any = None  # compute dtype (bf16 for speed; params stay fp32)
     remat: bool = False  # rematerialize ResNet blocks + BERT layers
+    # --pipeline_parallel hook: a callable (encoder_input, full_mask) ->
+    # encoded that replaces the in-module BertEncoder execution (the
+    # override reads the SAME encoder/layer_i leaves from the live params,
+    # see parallel/pipeline.py::masked_pipeline_encoder). None = inline.
+    encoder_override: any = None
 
     @nn.compact
     def __call__(
@@ -167,10 +172,13 @@ class MultimodalBertEncoder(nn.Module):
         ).astype(bool)
         if seq_keep_mask is not None:
             full_mask = full_mask & seq_keep_mask
-        encoded = BertEncoder(c, self.attn_impl, remat=self.remat,
-                              name="encoder")(
-            encoder_input, full_mask, train=train
-        )
+        if self.encoder_override is not None:
+            encoded = self.encoder_override(encoder_input, full_mask)
+        else:
+            encoded = BertEncoder(c, self.attn_impl, remat=self.remat,
+                                  name="encoder")(
+                encoder_input, full_mask, train=train
+            )
         return BertPooler(c, name="pooler")(encoded)
 
     # ---- variant keep-masks (host-free, jit-compatible) ------------------
@@ -202,6 +210,7 @@ class MultimodalBertClf(nn.Module):
     attn_impl: str = "auto"
     dtype: any = None
     remat: bool = False
+    encoder_override: any = None  # see MultimodalBertEncoder
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, seq_keep_mask=None):
@@ -216,6 +225,7 @@ class MultimodalBertClf(nn.Module):
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             remat=self.remat,
+            encoder_override=self.encoder_override,
             name="enc",
         )(txt, mask, segment, img, train=train, seq_keep_mask=seq_keep_mask)
         return Linear(self.n_classes, name="clf")(pooled)

@@ -38,46 +38,66 @@ def pipeline_apply(stage_fn: Callable, stacked_params, xs, *,
     ``axis_name``.
 
     Args (all local views under shard_map):
-      stage_fn: (params, x) -> y with y.shape == x.shape (stages chain).
+      stage_fn: (params, x) -> y with y matching x's pytree structure,
+        shapes, and dtypes (stages chain). ``x`` may be a single (mb, ...)
+        array or a PYTREE of them — e.g. (activations, attention_mask)
+        where the mask leaf passes through each stage unchanged, so
+        masked encoders (BERT) pipeline without closing over a global
+        batch constant that would desync from the microbatch stream.
       stacked_params: pytree whose leaves carry this device's stage slice
         with a leading stage dim of 1 (the global leaves are (P, ...)
         sharded over ``axis_name``) — squeezed here.
-      xs: (M, mb, ...) microbatch stream, replicated across the axis
-        (only stage 0 reads it).
+      xs: pytree of (M, mb, ...) microbatch streams, replicated across the
+        axis (only stage 0 reads it).
 
-    Returns (M, mb, ...) last-stage outputs — valid on the LAST device;
-    under the `pipeline_sharded` wrapper the caller slices stage -1 of the
-    stacked result.
+    Returns the (M, mb, ...) last-stage output pytree — valid on the LAST
+    device; under the `pipeline_sharded` wrapper the caller slices stage
+    -1 of the stacked result.
     """
+    tmap = jax.tree_util.tree_map
     p = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    params = jax.tree_util.tree_map(lambda l: l[0], stacked_params)
-    m = xs.shape[0]
+    params = tmap(lambda l: l[0], stacked_params)
+    m = jax.tree_util.tree_leaves(xs)[0].shape[0]
     fwd_perm = [(i, i + 1) for i in range(n - 1)]  # non-cyclic: 0 gets zeros
 
     def step(carry, t):
         recv, ys = carry
-        x_t = jax.lax.dynamic_index_in_dim(
-            xs, jnp.clip(t, 0, m - 1), keepdims=False
+        x_t = tmap(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, jnp.clip(t, 0, m - 1), keepdims=False
+            ),
+            xs,
         )
-        inp = jnp.where(p == 0, x_t, recv)
+        inp = tmap(lambda a, r: jnp.where(p == 0, a, r), x_t, recv)
         out = stage_fn(params, inp)
-        if out.shape != inp.shape or out.dtype != inp.dtype:
+        in_sd = tmap(lambda a: (a.shape, a.dtype), inp)
+        out_sd = tmap(lambda a: (a.shape, a.dtype), out)
+        if in_sd != out_sd:
             raise TypeError(
-                "pipeline stage_fn must preserve shape AND dtype so stages "
-                f"chain: got {inp.shape}/{inp.dtype} -> "
-                f"{out.shape}/{out.dtype}"
+                "pipeline stage_fn must preserve pytree structure, shape "
+                f"AND dtype so stages chain: got {in_sd} -> {out_sd}"
             )
         # last stage lands microbatch t-(n-1) at tick t (predicated write)
         idx = jnp.clip(t - (n - 1), 0, m - 1)
-        cur = jax.lax.dynamic_index_in_dim(ys, idx, keepdims=False)
-        row = jnp.where(t >= n - 1, out, cur)
-        ys = jax.lax.dynamic_update_index_in_dim(ys, row, idx, 0)
+        row = tmap(
+            lambda ybuf, o: jnp.where(
+                t >= n - 1, o,
+                jax.lax.dynamic_index_in_dim(ybuf, idx, keepdims=False),
+            ),
+            ys, out,
+        )
+        ys = tmap(
+            lambda ybuf, r: jax.lax.dynamic_update_index_in_dim(
+                ybuf, r, idx, 0
+            ),
+            ys, row,
+        )
         recv = jax.lax.ppermute(out, axis_name, fwd_perm)
         return (recv, ys), None
 
-    recv0 = jnp.zeros(xs.shape[1:], xs.dtype)
-    ys0 = jnp.zeros_like(xs)
+    recv0 = tmap(lambda a: jnp.zeros(a.shape[1:], a.dtype), xs)
+    ys0 = tmap(jnp.zeros_like, xs)
     (_, ys), _ = jax.lax.scan(step, (recv0, ys0), jnp.arange(m + n - 1))
     return ys
 
@@ -210,6 +230,102 @@ def fusion_pipeline_encoder(block_fn: Callable, layer_params, mesh, *,
                 [x, jnp.zeros((pad,) + tuple(x.shape[1:]), x.dtype)], axis=0
             )
         y = g(stacked, x)[-1]
+        return y[:b] if pad else y
+
+    return encode
+
+
+def masked_pipeline_encoder(block_fn: Callable, layer_params, mesh, *,
+                            pipe_axis: str = "model",
+                            data_axis: str = "data",
+                            microbatches: int = None):
+    """Pipeline a MASKED transformer encoder (train.py --pipeline_parallel
+    for the MMBT family): the BERT encoder's layers run as a GPipe
+    pipeline over ``pipe_axis``, with the per-sample attention mask riding
+    the microbatch stream as a second pytree leaf — each stage applies
+    layers/P consecutive blocks and passes the mask through unchanged.
+
+    Args:
+      block_fn: (one_layer_params, x, key_mask) -> y applying ONE encoder
+        layer (shape/dtype preserving in x; key_mask is (mb, S) bool).
+      layer_params: the per-layer param subtrees IN ORDER (taken live from
+        the train step's params, so grads flow back to the original
+        ``layer_i`` leaves).
+      microbatches: GPipe M (default: the stage count P).
+
+    Returns ``encode(x, key_mask)`` mapping ((B, S, D), (B, S)) ->
+    (B, S, D). Batches that divide neither the data axis nor M are padded
+    with zero rows (mask rows all-False... see note below) and sliced
+    back, exactly like ``fusion_pipeline_encoder``.
+    """
+    n_stage = int(mesh.shape[pipe_axis])
+    n_layers = len(layer_params)
+    if n_layers % n_stage:
+        raise ValueError(
+            f"pipeline_parallel={n_stage} must divide the encoder depth "
+            f"{n_layers}"
+        )
+    per = n_layers // n_stage
+    stacked = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *layer_params
+    )
+    stacked = jax.tree_util.tree_map(
+        lambda l: l.reshape((n_stage, per) + l.shape[1:]), stacked
+    )
+
+    def stage_fn(stage_params, inp):
+        x, mask = inp
+
+        def body(h, lp):
+            return block_fn(lp, h, mask), None
+
+        h, _ = jax.lax.scan(body, x, stage_params)
+        return h, mask
+
+    from jax.sharding import PartitionSpec as P
+
+    m = microbatches or n_stage
+
+    def f(stacked_params, xloc, mloc):
+        bl = xloc.shape[0]
+        if bl % m:  # unreachable via encode() below (it pads); safety net
+            raise ValueError(
+                f"per-data-shard batch {bl} must divide into {m} pipeline "
+                "microbatches"
+            )
+        xs = xloc.reshape((m, bl // m) + tuple(xloc.shape[1:]))
+        ms = mloc.reshape((m, bl // m) + tuple(mloc.shape[1:]))
+        ys, _ = pipeline_apply(stage_fn, stacked_params, (xs, ms),
+                               axis_name=pipe_axis)
+        return ys.reshape(xloc.shape)[None]
+
+    g = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(pipe_axis), P(data_axis), P(data_axis)),
+        out_specs=P(pipe_axis, data_axis),
+        check_vma=False,
+    )
+
+    n_data = int(mesh.shape[data_axis]) if data_axis else 1
+
+    def encode(x, key_mask):
+        b = x.shape[0]
+        pad = (-b) % (n_data * m)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + tuple(x.shape[1:]), x.dtype)], axis=0
+            )
+            # padded rows keep ONE visible position: a BERT softmax over an
+            # all-masked row is 0/0 -> NaN, and although the rows are
+            # sliced away, NaNs would poison the backward through the
+            # shared dW reductions. One kept key makes them finite; the
+            # rows are still discarded below.
+            pad_mask = jnp.zeros((pad,) + tuple(key_mask.shape[1:]),
+                                 key_mask.dtype)
+            pad_mask = pad_mask.at[:, 0].set(True)
+            key_mask = jnp.concatenate([key_mask, pad_mask], axis=0)
+        y = g(stacked, x, key_mask)[-1]
         return y[:b] if pad else y
 
     return encode

@@ -335,6 +335,9 @@ def setup_mmbt(
     fast_dw=False,
     pretrained_bert_sd=None,
     pretrained_resnet_sd=None,
+    pipeline_parallel: int = 1,
+    pipeline_mesh=None,
+    pipeline_microbatches: Optional[int] = None,
 ) -> Setup:
     from multimodal_uncertainty_tpu.data.images import (
         FOOD101_MEAN,
@@ -351,6 +354,17 @@ def setup_mmbt(
     if vocab_size is not None and vocab_size != cfg.vocab_size:
         cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
     key = seed_key if seed_key is not None else jax.random.key(0)
+
+    if pipeline_parallel > 1:
+        if pipeline_mesh is None:
+            raise ValueError("pipeline_parallel > 1 requires pipeline_mesh")
+        if (dropout or cfg.hidden_dropout_prob
+                or cfg.attention_probs_dropout_prob):
+            raise ValueError(
+                "pipeline_parallel > 1 requires every dropout rate = 0: "
+                "the pipelined BERT stages run rng-free (train.py "
+                "--pipeline_parallel zeroes them under --dropout 0)"
+            )
 
     model = MultimodalBertClf(
         config=cfg,
@@ -383,9 +397,32 @@ def setup_mmbt(
             )
         return None
 
+    def _piped_model(variables):
+        """MMBT leg of train.py --pipeline_parallel: the BERT encoder's
+        layer_i stack runs as a GPipe pipeline over the mesh's 'model'
+        axis, the per-sample attention mask riding the microbatch stream
+        (parallel/pipeline.py::masked_pipeline_encoder). The override
+        reads the live encoder/layer_i params each call, so gradients
+        flow back to the canonical leaves and the optimizer/checkpoint/
+        freeze-mask layout is unchanged."""
+        from multimodal_uncertainty_tpu.models.bert import BertLayer
+        from multimodal_uncertainty_tpu.parallel.pipeline import (
+            masked_pipeline_encoder,
+        )
+
+        block = BertLayer(cfg, attn_impl)
+        enc = variables["params"]["enc"]["encoder"]
+        layer_params = [enc[f"layer_{i}"] for i in range(cfg.num_hidden_layers)]
+        encode = masked_pipeline_encoder(
+            lambda lp, h, m_: block.apply({"params": lp}, h, m_, False),
+            layer_params, pipeline_mesh, microbatches=pipeline_microbatches,
+        )
+        return model.clone(encoder_override=encode)
+
     def apply_fn(variables, x, *, train, rngs, seq_keep_mask=None):
         from multimodal_uncertainty_tpu.ops.dw import pallas_dw
 
+        mdl = model if pipeline_parallel <= 1 else _piped_model(variables)
         txt, mask, segment, img = x
         if img.dtype == jnp.uint8:
             img = normalize_on_device(img, FOOD101_MEAN, FOOD101_STD)
@@ -394,13 +431,13 @@ def setup_mmbt(
             seq_keep_mask = _modality_mask(txt.shape[0], txt.shape[1])
         if train:
             with pallas_dw(fast_dw):
-                return model.apply(
+                return mdl.apply(
                     variables, x, train=True, rngs=rngs,
                     mutable=["batch_stats"], seq_keep_mask=seq_keep_mask,
                 )
         return (
-            model.apply(variables, x, train=False, rngs=rngs,
-                        seq_keep_mask=seq_keep_mask),
+            mdl.apply(variables, x, train=False, rngs=rngs,
+                      seq_keep_mask=seq_keep_mask),
             {},
         )
 

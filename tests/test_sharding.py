@@ -863,6 +863,68 @@ def test_pipeline_parallel_fusion_train_step_matches_sequential():
         )
 
 
+def test_pipeline_parallel_mmbt_matches_sequential():
+    """train.py --pipeline_parallel for the MMBT family: the BERT
+    encoder's layer_i stack as a 2-stage GPipe pipeline on a DPxPP mesh,
+    the per-sample attention mask riding the microbatch stream
+    (parallel/pipeline.py::masked_pipeline_encoder). One full train step
+    (ResNet trunk + BN stats, BertAdam, freeze flags) must match the
+    single-device sequential step — including on a batch that divides
+    neither the data axis nor the microbatch count."""
+    from multimodal_uncertainty_tpu.models.bert import BertConfig
+    from multimodal_uncertainty_tpu.zoo import setup_mmbt
+
+    cfg = BertConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+    )
+    common = dict(
+        n_classes=5, bert_config=cfg, num_image_embeds=3,
+        resnet_layers=(1, 1, 1, 1), image_size=64, dropout=0.0,
+        gradient_accumulation_steps=1, sample_txt_len=6,
+        attn_impl="xla", seed_key=jax.random.key(0),
+    )
+    mesh = make_mesh(8, model_parallel=2)  # data=4 x model(pipe)=2
+    ref = setup_mmbt(**common)
+    pp = setup_mmbt(**common, pipeline_parallel=2, pipeline_mesh=mesh)
+    step_ref = build_train_step(ref.bundle, ref.optimizer, donate=False)
+    step_pp = build_train_step(pp.bundle, pp.optimizer, donate=False)
+    key = jax.random.key(7)
+    flags = jnp.asarray([False, False])
+    put = put_batch_fn(mesh)
+
+    # b=16 divides data(4) x microbatches(2); b=6 divides neither
+    for b in (16, 6):
+        x, y = _mmbt_batch(b=b)
+        x_dev = jax.tree_util.tree_map(jnp.asarray, x)
+        s_ref, logs_ref = step_ref(ref.state, x_dev, jnp.asarray(y), key,
+                                   flags)
+        loss_ref = float(logs_ref["loss"])
+        jax.block_until_ready(s_ref.params)
+
+        s_x, s_y = put((x, y))
+        state_pp = shard_state(pp.state, mesh, tp=False)
+        with mesh:
+            s_pp, logs_pp = step_pp(state_pp, s_x, s_y, key, flags)
+            assert abs(float(logs_pp["loss"]) - loss_ref) < 1e-5, b
+        # grads reached the canonical encoder leaves identically
+        q_ref = s_ref.params["enc"]["encoder"]["layer_1"]["self"]["query"][
+            "kernel"]
+        q_pp = s_pp.params["enc"]["encoder"]["layer_1"]["self"]["query"][
+            "kernel"]
+        np.testing.assert_allclose(np.asarray(q_pp), np.asarray(q_ref),
+                                   atol=1e-6)
+
+    # dropout anywhere in the stages is rejected (stages run rng-free)
+    with pytest.raises(ValueError, match="dropout"):
+        setup_mmbt(**{**common, "bert_config": BertConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.1,
+        )}, pipeline_parallel=2, pipeline_mesh=mesh)
+
+
 def test_pipeline_parallel_partial_batch_matches_sequential():
     """Batches that divide NEITHER the data axis NOR the microbatch count
     must still train through --pipeline_parallel (r5 review finding: the

@@ -172,15 +172,16 @@ def get_args(parser: argparse.ArgumentParser) -> None:
                              "padded img+txt length to be a multiple of "
                              "128*sequence_parallel")
     parser.add_argument("--pipeline_parallel", type=int, default=1,
-                        help="GPipe pipeline stages for the fusion "
-                             "mm_encoder over the 'model' mesh axis "
-                             "(parallel/pipeline.py): each stage holds "
-                             "layers/P consecutive blocks, activations hop "
-                             "the ICI ring, M=--pipeline_microbatches "
-                             "microbatches fill the bubble. flava only; "
-                             "requires dropout 0; composes with "
-                             "--data_parallel; exclusive with "
-                             "--model_parallel/--sequence_parallel")
+                        help="GPipe pipeline stages over the 'model' mesh "
+                             "axis (parallel/pipeline.py): the fusion "
+                             "mm_encoder or the MMBT BERT encoder (the "
+                             "attention mask rides the microbatch stream) "
+                             "split into layers/P consecutive blocks per "
+                             "stage, activations hop the ICI ring, "
+                             "M=--pipeline_microbatches microbatches fill "
+                             "the bubble. flava|mmbt; requires dropout 0; "
+                             "composes with --data_parallel; exclusive "
+                             "with --model_parallel/--sequence_parallel")
     parser.add_argument("--pipeline_microbatches", type=int, default=None,
                         help="GPipe M (default: pipeline_parallel)")
     parser.add_argument("--fsdp", action="store_true",
@@ -281,10 +282,10 @@ def main():
 
     root_key = set_seed(args.seed)
     if args.pipeline_parallel > 1:
-        if args.framework != "flava":
+        if args.framework not in ("flava", "mmbt"):
             raise SystemExit(
-                "--pipeline_parallel is wired for the fusion family "
-                "(--framework flava)")
+                "--pipeline_parallel is wired for the fusion and MMBT "
+                "families (--framework flava|mmbt)")
         if args.model_parallel > 1 or args.sequence_parallel > 1:
             raise SystemExit(
                 "--pipeline_parallel uses the 'model' mesh axis for "
@@ -293,6 +294,10 @@ def main():
         if args.dropout:
             raise SystemExit("--pipeline_parallel requires --dropout 0 "
                              "(stages run rng-free)")
+        if args.framework == "mmbt" and args.attention_probs_dropout:
+            raise SystemExit(
+                "--pipeline_parallel requires --attention_probs_dropout 0 "
+                "(the pipelined BERT stages run rng-free)")
     n_mesh = (args.data_parallel * args.model_parallel
               * args.sequence_parallel * args.pipeline_parallel)
     mesh = None
@@ -406,7 +411,23 @@ def main():
                 bert_cfg,
                 attention_probs_dropout_prob=args.attention_probs_dropout,
             )
+        mmbt_pipe = {}
+        if args.pipeline_parallel > 1:
+            # the pipelined BERT stages run rng-free: --dropout 0 (gated
+            # above) governs every dropout site for the run, so the bert
+            # config's hidden dropout and the embeddings dropout are
+            # zeroed too (setup_mmbt rejects anything else)
+            import dataclasses as _dc
+
+            bert_cfg = _dc.replace(bert_cfg, hidden_dropout_prob=0.0)
+            mmbt_pipe = dict(
+                dropout=0.0,
+                pipeline_parallel=args.pipeline_parallel,
+                pipeline_mesh=mesh,
+                pipeline_microbatches=args.pipeline_microbatches,
+            )
         setup = zoo.setup_mmbt(
+            **mmbt_pipe,
             n_classes=n_classes,
             lr=args.lr,
             warmup=args.warmup,
